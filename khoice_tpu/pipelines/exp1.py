@@ -1,0 +1,140 @@
+"""Experiment 1: whole-group k-mer uniqueness (the north-star path).
+
+TPU-native replacement for the reference's exp_type_1 Snakemake DAG
+(workflow/rules/exp_type_1.smk:156-308):
+
+  per (k, group): per-genome canonical count -> set_counts 1 ->
+  within-group union (count = #genomes containing the k-mer) ->
+  histogram -> step_4 text file; all (k, group) histograms ->
+  step_5/within_datasets_analysis.csv.
+
+  per k: group set (set_counts 1 of the union) -> across-group union
+  (count = #groups) -> histogram -> step_8 text file; -> step_9 CSV.
+
+The reference runs kmc/kmc_tools once per (k, genome) across process
+boundaries; here a genome's codes are encoded once and every stage is a
+device op inside one process. Output files keep the reference's step_4/
+step_5/step_8/step_9 layout so resume and the CSV contract carry over.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence
+
+from ..engine.session import KmerEngine
+from ..io.fasta import read_fasta
+from ..io.packing import encode_records
+from ..reports.csvio import read_hist_txt, write_csv_rows, write_hist_txt
+from ..reports.metrics import append_group_normalization, summarize_histogram_type1
+
+STEP5_HEADER = (
+    "group_num,k,percent_1_occ,percent_25_or_less,percent_25_to_75,"
+    "percent_75_or_more,unique_stat,unique_stat_norm,delta_frac,delta_frac_norm\n"
+)
+STEP9_HEADER = (
+    "group_num,k,percent_1_occ,percent_2_to_5,percent_5_to_20,percent_20_more,"
+    "unique_stat,unique_stat_norm,delta_frac,delta_frac_norm\n"
+)
+
+
+def load_groups(groups_fastas: Dict[int, List[str]]) -> Dict[int, List[List[str]]]:
+    """{group_num: [fasta_path,...]} -> {group_num: [genome record seqs,...]}."""
+    out = {}
+    for num, paths in groups_fastas.items():
+        out[num] = [[r.seq for r in read_fasta(p)] for p in paths]
+    return out
+
+
+def run_exp1(
+    groups: Dict[int, List[List[str]]],
+    k_values: Sequence[int],
+    out_dir: str,
+    engine: KmerEngine | None = None,
+    union_cs: int = 5000,
+    count_cs: int = 255,
+    hist_cx: int = 10000,
+    write_hists: bool = True,
+) -> Dict[str, str]:
+    """groups: {group_num: [genome as list-of-record-seqs, ...]}.
+
+    Returns {"step_5": csv_path, "step_9": csv_path}.
+    """
+    eng = engine or KmerEngine()
+    group_nums = sorted(groups)
+
+    # Encode each genome once; every k reuses the codes.
+    codes = {
+        num: [encode_records(seqs) for seqs in groups[num]] for num in group_nums
+    }
+
+    within_hists: Dict[tuple, List[int]] = {}
+    across_hists: Dict[int, List[int]] = {}
+
+    for k in k_values:
+        group_sets = []
+        for num in group_nums:
+            members = [
+                eng.set_counts(eng.count_codes(c, k, cs=count_cs), 1)
+                for c in codes[num]
+            ]
+            union = eng.union(members, cs=union_cs)
+            hist = eng.histogram(union, cx=hist_cx)
+            within_hists[(k, num)] = hist
+            if write_hists:
+                write_hist_txt(
+                    os.path.join(out_dir, f"step_4/k_{k}/dataset_{num}/dataset_{num}_k{k}_hist.txt"),
+                    hist,
+                    cx=hist_cx,
+                )
+            group_sets.append(eng.set_counts(union, 1))
+
+        across = eng.union(group_sets, cs=union_cs)
+        hist = eng.histogram(across, cx=hist_cx)
+        across_hists[k] = hist
+        if write_hists:
+            write_hist_txt(
+                os.path.join(out_dir, f"step_8/k_{k}/all_datasets_k{k}_hist.txt"),
+                hist,
+                cx=hist_cx,
+            )
+
+    # --- step_5 CSV (row order: k outer, group inner, like the reference's
+    # expand(k_len=..., num=...) input ordering, exp_type_1.smk:195) ---
+    num_members = {num: len(groups[num]) for num in group_nums}
+    all_metrics = []
+    for k in k_values:
+        for num in group_nums:
+            hist = (
+                read_hist_txt(os.path.join(out_dir, f"step_4/k_{k}/dataset_{num}/dataset_{num}_k{k}_hist.txt"))
+                if write_hists
+                else within_hists[(k, num)]
+            )
+            row = [f"group_{num}", str(k)] + summarize_histogram_type1(
+                hist, num_members[num], False, int(k)
+            )
+            all_metrics.append(row)
+    append_group_normalization(all_metrics, [f"group_{num}" for num in group_nums])
+    step5 = os.path.join(out_dir, "step_5/within_datasets_analysis.csv")
+    write_csv_rows(step5, STEP5_HEADER, all_metrics)
+
+    # --- step_9 CSV ---
+    all_metrics = []
+    for k in k_values:
+        hist = (
+            read_hist_txt(os.path.join(out_dir, f"step_8/k_{k}/all_datasets_k{k}_hist.txt"))
+            if write_hists
+            else across_hists[k]
+        )
+        row = ["full_group", str(k)] + summarize_histogram_type1(
+            hist, len(group_nums), True, int(k)
+        )
+        all_metrics.append(row)
+    values = [row[8] for row in all_metrics]
+    max_ratio = max(values)
+    for row in all_metrics:
+        row.append(round(row[8] / max_ratio, 4))
+    step9 = os.path.join(out_dir, "step_9/across_datasets_analysis.csv")
+    write_csv_rows(step9, STEP9_HEADER, all_metrics)
+
+    return {"step_5": step5, "step_9": step9}

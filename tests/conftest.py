@@ -13,6 +13,9 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Persistent compile cache: the suite is compile-dominated on CPU.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/khoice-jax-cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 import random
 

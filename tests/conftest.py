@@ -7,15 +7,26 @@ Multi-chip sharding logic is validated on a fake 8-device CPU mesh
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# The axon sitecustomize pins JAX_PLATFORMS=axon (the real TPU tunnel), so
+# selecting the CPU platform via env is not possible; instead pin the
+# default device to CPU so the suite never touches the remote chip.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 # Persistent compile cache: the suite is compile-dominated on CPU.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/khoice-jax-cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+jax.config.update("jax_compilation_cache_dir", "/tmp/khoice-jax-cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
+def cpu_devices(n=8):
+    return jax.devices("cpu")[:n]
 
 import random
 

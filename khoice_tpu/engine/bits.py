@@ -109,7 +109,8 @@ def searchsorted_words(sorted_words: tuple, query_words: tuple):
     nq = query_words[0].shape
     lo = jnp.zeros(nq, jnp.int32)
     hi = jnp.full(nq, c, jnp.int32)
-    n_iter = max(1, int(c - 1).bit_length()) if c > 0 else 0
+    # interval [lo, hi] starts with length c+1; need ceil(log2(c+1)) halvings
+    n_iter = int(c).bit_length() if c > 0 else 0
     for _ in range(n_iter):
         mid = (lo + hi) >> 1
         mid_words = take_words(sorted_words, mid)

@@ -1,0 +1,89 @@
+"""Sharded engine on an 8-virtual-CPU-device mesh vs single-device engine."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import cpu_devices, random_dna
+from khoice_tpu import oracle
+from khoice_tpu.dist import (
+    make_mesh,
+    sharded_count_codes,
+    sharded_histogram,
+    sharded_intersect_sum,
+    sharded_set_counts,
+    sharded_subtract,
+    sharded_union_many,
+)
+from khoice_tpu.engine import count_codes, histogram, set_counts, union_many
+from khoice_tpu.io import encode_records
+
+
+def mesh8():
+    return make_mesh(devices=cpu_devices(8))
+
+
+def as_dict(t):
+    return {km: c for km, c in t.dump()}
+
+
+@pytest.mark.parametrize("k", [11, 21, 33])
+def test_sharded_count_matches_oracle(rng, k):
+    mesh = mesh8()
+    seqs = [random_dna(rng, 700, n_prob=0.01) for _ in range(2)]
+    codes = encode_records(seqs)
+    st = sharded_count_codes(mesh, codes, k)
+    assert as_dict(st) == oracle.count_kmers(seqs, k)
+
+
+def test_sharded_dump_globally_sorted(rng):
+    mesh = mesh8()
+    codes = encode_records([random_dna(rng, 1000)])
+    st = sharded_count_codes(mesh, codes, 13)
+    kmers = [km for km, _ in st.dump()]
+    assert kmers == sorted(kmers)
+
+
+def test_sharded_algebra_matches_single_device(rng):
+    mesh = mesh8()
+    k = 17
+    shared = random_dna(rng, 300)
+    seqs_a = [random_dna(rng, 500) + shared for _ in range(3)]
+    seqs_b = [shared + random_dna(rng, 400) for _ in range(2)]
+
+    sa = [sharded_set_counts(sharded_count_codes(mesh, encode_records([s]), k), 1) for s in seqs_a]
+    sb = [sharded_set_counts(sharded_count_codes(mesh, encode_records([s]), k), 1) for s in seqs_b]
+    ua = sharded_union_many(sa, cs=5000)
+    ub = sharded_union_many(sb, cs=5000)
+
+    oa = oracle.union_sum([oracle.set_counts(oracle.count_kmers([s], k), 1) for s in seqs_a], cs=5000)
+    ob = oracle.union_sum([oracle.set_counts(oracle.count_kmers([s], k), 1) for s in seqs_b], cs=5000)
+    assert as_dict(ua) == oa
+    assert as_dict(ub) == ob
+
+    inter = sharded_intersect_sum(ua, ub)
+    assert as_dict(inter) == oracle.intersect_sum(oa, ob)
+
+    sub = sharded_subtract(ua, ub)
+    assert as_dict(sub) == oracle.subtract(oa, ob)
+
+    hist = sharded_histogram(ua, cx=40).tolist()
+    assert hist == oracle.histogram(oa, cx=40)
+
+
+def test_sharded_overflow_retry(rng):
+    # Tiny bucket cap forces the overflow-doubling path.
+    mesh = mesh8()
+    seqs = [random_dna(rng, 2000)]
+    st = sharded_count_codes(mesh, encode_records(seqs), 9, bucket_cap=8)
+    assert as_dict(st) == oracle.count_kmers(seqs, 9)
+
+
+def test_device_count_invariance(rng):
+    seqs = [random_dna(rng, 600, n_prob=0.02)]
+    codes = encode_records(seqs)
+    d1 = as_dict(count_codes(jnp.asarray(codes), 15))
+    for nd in (2, 8):
+        mesh = make_mesh(devices=cpu_devices(nd))
+        assert as_dict(sharded_count_codes(mesh, codes, 15)) == d1

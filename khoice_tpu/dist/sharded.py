@@ -99,7 +99,7 @@ def make_slabs(codes: np.ndarray, n_shards: int, k: int) -> np.ndarray:
 
 def _dedupe_local(keys, counts, cs):
     w = len(keys)
-    sorted_ops = jax.lax.sort(list(keys) + [counts], num_keys=w)
+    sorted_ops = jax.lax.sort(list(keys) + [counts], num_keys=w, is_stable=False)
     return ops.dedupe_sorted(tuple(sorted_ops[:w]), sorted_ops[w], cs)
 
 

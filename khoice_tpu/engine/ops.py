@@ -51,38 +51,55 @@ __all__ = [
 ]
 
 
-def _sort_keys_counts(keys: tuple, counts: jnp.ndarray):
+def _sort_keys_counts(keys: tuple, *payloads):
     w = len(keys)
-    sorted_ops = jax.lax.sort(list(keys) + [counts], num_keys=w)
-    return tuple(sorted_ops[:w]), sorted_ops[w]
+    sorted_ops = jax.lax.sort(
+        list(keys) + list(payloads), num_keys=w, is_stable=False
+    )
+    return tuple(sorted_ops[:w]), sorted_ops[w:]
+
+
+def _run_starts(keys: tuple):
+    """is_new[i] = keys[i] != keys[i-1] (run boundaries of a sorted array)."""
+    prev = tuple(jnp.roll(kw, 1) for kw in keys)
+    is_new = ~words_eq(keys, prev)
+    return is_new.at[0].set(True)
+
+
+def _run_sums(counts: jnp.ndarray, is_new: jnp.ndarray) -> jnp.ndarray:
+    """Segment sums of a sorted run structure, written at each run's FIRST
+    slot (0 elsewhere). Gather/scatter-free: TPU gathers at ~16M indices cost
+    ~100x a cumsum, so this uses the monotonicity of inclusive prefix sums:
+    the s-value at MY run's end is the reverse-cummin of s masked to
+    run-last slots. Exact in modular uint32 as long as each run's true sum
+    < 2^32 (always holds: per-key counts are capped at <=10000 per input).
+    """
+    s = jnp.cumsum(counts, dtype=jnp.uint32)
+    e = s - counts  # exclusive prefix
+    is_last = jnp.roll(is_new, -1)  # last slot of each run; [-1] -> True
+    mask_s = jnp.where(is_last, s, jnp.uint32(0xFFFFFFFF))
+    s_end = jax.lax.cummin(mask_s, axis=0, reverse=True)
+    return jnp.where(is_new, s_end - e, 0).astype(jnp.uint32)
 
 
 def dedupe_sorted(keys: tuple, counts: jnp.ndarray, cs: int) -> tuple:
-    """Collapse equal adjacent keys of a sorted run, summing counts (sat. cs).
+    """Collapse runs of equal keys in a sorted array, summing counts (sat. cs).
 
-    Returns (unique_keys, unique_counts) of the same capacity with the
-    KmerTable invariant (ascending keys, SENTINEL tail, count 0 = absent).
+    Output is in *run form* (the KmerTable invariant): keys unchanged
+    (ascending, duplicates allowed), with the run's total count stored at
+    the run's FIRST slot and 0 elsewhere.
     """
-    c = counts.shape[0]
-    w = len(keys)
-    prev = take_words(keys, jnp.maximum(jnp.arange(c) - 1, 0))
-    is_new = ~words_eq(keys, prev)
-    is_new = is_new.at[0].set(True)
-    seg = jnp.cumsum(is_new.astype(jnp.int32)) - 1
-    ucounts = jnp.zeros((c,), jnp.uint32).at[seg].add(counts)
-    ukeys = tuple(
-        jnp.full((c,), SENTINEL, jnp.uint32).at[seg].set(kw) for kw in keys
-    )
-    # drop the sentinel-padding segment and saturate
-    sent = words_is_sentinel(ukeys)
-    ucounts = jnp.where(sent, 0, jnp.minimum(ucounts, jnp.uint32(cs)))
-    return ukeys, ucounts
+    is_new = _run_starts(keys)
+    run = _run_sums(counts, is_new)
+    ucounts = jnp.minimum(run, jnp.uint32(cs))
+    ucounts = jnp.where(words_is_sentinel(keys), 0, ucounts).astype(jnp.uint32)
+    return keys, ucounts
 
 
 def count_keys(keys: tuple, valid: jnp.ndarray, k: int, cs: int = 255) -> KmerTable:
     """Build a count table from pre-extracted canonical keys."""
     ones = valid.astype(jnp.uint32)
-    skeys, scounts = _sort_keys_counts(keys, ones)
+    skeys, (scounts,) = _sort_keys_counts(keys, ones)
     ukeys, ucounts = dedupe_sorted(skeys, scounts, cs)
     return KmerTable(keys=ukeys, counts=ucounts, k=k)
 
@@ -108,34 +125,45 @@ def union_many(tables: list, cs: int = 5000, capacity: int | None = None) -> Kme
         jnp.concatenate([t.keys[i] for t in tables]) for i in range(w)
     )
     counts = jnp.concatenate([t.counts for t in tables])
-    skeys, scounts = _sort_keys_counts(keys, counts)
+    skeys, (scounts,) = _sort_keys_counts(keys, counts)
     ukeys, ucounts = dedupe_sorted(skeys, scounts, cs)
-    out = KmerTable(keys=ukeys, counts=ucounts, k=k)
-    return out
+    return KmerTable(keys=ukeys, counts=ucounts, k=k)
 
 
-def _lookup_counts(t: KmerTable, query_keys: tuple) -> jnp.ndarray:
-    """For each query key: t's count if present, else 0."""
-    idx = searchsorted_words(t.keys, query_keys)
-    found_keys = take_words(t.keys, idx)
-    found = words_eq(found_keys, query_keys) & (idx < t.capacity)
-    cnt = jnp.take(t.counts, idx, mode="clip")
-    return jnp.where(found, cnt, jnp.uint32(0))
+def _merge_two(a: KmerTable, b: KmerTable):
+    """Merge a and b into one sorted run structure with per-side run sums.
+
+    Returns (keys, a_sum, b_sum) where *_sum carry each side's count at the
+    run's first slot. Merge-by-sort beats per-key binary search on TPU: one
+    unstable variadic sort vs log(C) serialized gathers.
+    """
+    w = a.n_words
+    keys = tuple(jnp.concatenate([a.keys[i], b.keys[i]]) for i in range(w))
+    zeros_a = jnp.zeros_like(b.counts)
+    zeros_b = jnp.zeros_like(a.counts)
+    ca = jnp.concatenate([a.counts, zeros_a])
+    cb = jnp.concatenate([zeros_b, b.counts])
+    skeys, (sca, scb) = _sort_keys_counts(keys, ca, cb)
+    is_new = _run_starts(skeys)
+    a_sum = _run_sums(sca, is_new)
+    b_sum = _run_sums(scb, is_new)
+    sent = words_is_sentinel(skeys)
+    return skeys, jnp.where(sent, 0, a_sum), jnp.where(sent, 0, b_sum)
 
 
 def intersect_sum(a: KmerTable, b: KmerTable, cs: int = 255) -> KmerTable:
     """`kmc_tools simple a b intersect -ocsum` (keys in both, counts summed)."""
-    bc = _lookup_counts(b, a.keys)
-    both = (a.counts > 0) & (bc > 0)
-    counts = jnp.where(both, jnp.minimum(a.counts + bc, jnp.uint32(cs)), 0)
-    return KmerTable(keys=a.keys, counts=counts.astype(jnp.uint32), k=a.k)
+    keys, a_sum, b_sum = _merge_two(a, b)
+    both = (a_sum > 0) & (b_sum > 0)
+    counts = jnp.where(both, jnp.minimum(a_sum + b_sum, jnp.uint32(cs)), 0)
+    return KmerTable(keys=keys, counts=counts.astype(jnp.uint32), k=a.k)
 
 
 def subtract(a: KmerTable, b: KmerTable) -> KmerTable:
     """`kmc_tools simple a b kmers_subtract` (keys of a not in b)."""
-    bc = _lookup_counts(b, a.keys)
-    counts = jnp.where((a.counts > 0) & (bc == 0), a.counts, jnp.uint32(0))
-    return KmerTable(keys=a.keys, counts=counts, k=a.k)
+    keys, a_sum, b_sum = _merge_two(a, b)
+    counts = jnp.where((a_sum > 0) & (b_sum == 0), a_sum, jnp.uint32(0))
+    return KmerTable(keys=keys, counts=counts.astype(jnp.uint32), k=a.k)
 
 
 def histogram(t: KmerTable, cx: int = 10000) -> jnp.ndarray:

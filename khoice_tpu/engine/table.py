@@ -4,10 +4,12 @@ Plays the role of a KMC3 database (`.kmc_pre`/`.kmc_suf` file pair in the
 reference, produced at workflow/rules/exp_type_1.smk:156-163) as a
 static-shape JAX pytree:
 
-- ``keys``: tuple of uint32 word arrays [capacity], ascending. Valid keys are
-  strictly increasing; unused slots hold the all-ones SENTINEL at the end.
-- ``counts``: uint32 [capacity]. A key is *present* iff its count > 0
-  (count==0 marks deletions from `subtract`, keeping shapes static).
+- ``keys``: tuple of uint32 word arrays [capacity], ascending (duplicates
+  allowed — "run form"); unused slots hold the all-ones SENTINEL at the end.
+- ``counts``: uint32 [capacity]. A key is *present* iff count > 0, and a
+  present key's count lives at its FIRST slot (lower_bound finds it).
+  count==0 elsewhere (duplicate slots, deletions, sentinels). Run form is
+  scatter-free — TPU scatters serialize, so dedupe never compacts on device.
 - ``k``: static aux data.
 
 All engine ops preserve this invariant, which makes binary search, merges

@@ -1,0 +1,172 @@
+"""Device-side k-mer match annotation — the merge_lists.py core, TPU-native.
+
+The reference tags every pivot k-mer with the list of datasets whose group
+union contains it, by streaming KMC text dumps through Python dicts
+(reference: src/merge_lists.py:14-33). Here the same structure is built in
+one variadic device sort: pivot table + all D group sets are concatenated
+and sorted once; per-run segment sums give the pivot's count and a packed
+presence bitmask over datasets, aligned on the same key array.
+
+All classification weights are exact integers: a k-mer matched by |M|
+datasets contributes count * LCM/|M| (LCM over 1..D), so vote argmaxes and
+confusion-matrix cells are bit-reproducible on any backend — no float
+accumulation-order sensitivity (the reference sums 1/|M| floats in dict
+order, which is not reproducible across dict implementations).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..engine.bits import searchsorted_words, take_words, words_is_sentinel
+from ..engine.extract import extract_canonical
+from ..engine.ops import _run_starts, _run_sums, _sort_keys_counts
+from ..engine.table import KmerTable
+
+
+@dataclasses.dataclass
+class Annotation:
+    """Merged, sorted run structure over pivot + group keys.
+
+    keys: tuple of uint32 word arrays [C] (sorted, duplicates in runs)
+    pivot_count: uint32 [C] — pivot's count at each run's first slot
+    mask: uint32 [C] — bit d set iff dataset d's group contains the key
+    num_datasets: int
+    k: int
+    """
+
+    keys: tuple
+    pivot_count: jnp.ndarray
+    mask: jnp.ndarray
+    num_datasets: int
+    k: int
+
+
+def vote_lcm(num_datasets: int) -> int:
+    return math.lcm(*range(1, num_datasets + 1))
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _annotate(pivot_parts, group_parts, num_datasets):
+    (pkeys, pcounts) = pivot_parts
+    w = len(pkeys)
+    all_keys = tuple(
+        jnp.concatenate([pkeys[i]] + [g[0][i] for g in group_parts])
+        for i in range(w)
+    )
+    caps = [pcounts.shape[0]] + [g[1].shape[0] for g in group_parts]
+    total = sum(caps)
+
+    def placed(vec, slot):
+        pre = sum(caps[:slot])
+        post = total - pre - caps[slot]
+        return jnp.concatenate(
+            [jnp.zeros(pre, jnp.uint32), vec, jnp.zeros(post, jnp.uint32)]
+        )
+
+    payloads = [placed(pcounts, 0)] + [
+        placed(g[1], d + 1) for d, g in enumerate(group_parts)
+    ]
+    skeys, spayloads = _sort_keys_counts(all_keys, *payloads)
+    is_new = _run_starts(skeys)
+    sent = words_is_sentinel(skeys)
+    pivot_count = jnp.where(sent, 0, _run_sums(spayloads[0], is_new))
+    mask = jnp.zeros(total, jnp.uint32)
+    for d in range(num_datasets):
+        gd = _run_sums(spayloads[d + 1], is_new)
+        mask = mask | jnp.where(gd > 0, jnp.uint32(1 << d), 0)
+    mask = jnp.where(sent, 0, mask)
+    return skeys, pivot_count, mask
+
+
+def build_annotation(pivot: KmerTable, groups: List[KmerTable]) -> Annotation:
+    """pivot: raw-count table; groups: per-dataset set tables (counts=1)."""
+    d = len(groups)
+    assert d >= 1
+    keys, pivot_count, mask = _annotate(
+        (pivot.keys, pivot.counts),
+        tuple((g.keys, g.counts) for g in groups),
+        d,
+    )
+    return Annotation(keys, pivot_count, mask, d, pivot.k)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _feature_buckets(pivot_count, mask, _sentinel, num_datasets):
+    """bucket[d, m-1] = total pivot count of keys in dataset d with |M| = m;
+    unique = total pivot count of keys matching no dataset."""
+    nmatch = jax.lax.population_count(mask)
+    present = pivot_count > 0
+    unique = jnp.sum(jnp.where(present & (nmatch == 0), pivot_count, 0))
+    buckets = []
+    for d in range(num_datasets):
+        in_d = (mask >> d) & 1
+        row = []
+        for m in range(1, num_datasets + 1):
+            sel = present & (in_d == 1) & (nmatch == m)
+            row.append(jnp.sum(jnp.where(sel, pivot_count, 0)))
+        buckets.append(jnp.stack(row))
+    return jnp.stack(buckets), unique
+
+
+def feature_buckets(ann: Annotation):
+    """Returns (buckets [D, D] int, unique_count int) on host."""
+    b, u = _feature_buckets(ann.pivot_count, ann.mask, 0, ann.num_datasets)
+    return np.asarray(b).astype(np.int64), int(np.asarray(u))
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _read_votes(ann_parts, reads, _s, k, num_datasets, lcm):
+    keys, pivot_count, mask = ann_parts
+    r, l = reads.shape
+    flat = jnp.concatenate(
+        [reads, jnp.full((r, 1), 4, reads.dtype)], axis=1
+    ).reshape(-1)
+    qkeys, valid = extract_canonical(flat, k)
+    idx = searchsorted_words(keys, qkeys)
+    found_keys = take_words(keys, idx)
+    from ..engine.bits import words_eq
+
+    found = words_eq(found_keys, qkeys) & valid
+    qmask = jnp.where(found, jnp.take(mask, idx, mode="clip"), 0)
+    nmatch = jax.lax.population_count(qmask)
+    weight = jnp.where(nmatch > 0, lcm // jnp.maximum(nmatch, 1), 0)
+    votes = []
+    for d in range(num_datasets):
+        in_d = ((qmask >> d) & 1) == 1
+        wd = jnp.where(in_d, weight, 0).reshape(r, l + 1)
+        votes.append(jnp.sum(wd, axis=1))
+    unmatched = jnp.sum(
+        jnp.where(valid & (nmatch == 0), 1, 0).reshape(r, l + 1), axis=1
+    )
+    n_kmers = jnp.sum(valid.reshape(r, l + 1), axis=1)
+    return jnp.stack(votes, axis=1), unmatched, n_kmers
+
+
+def read_votes(ann: Annotation, reads_codes: np.ndarray):
+    """Integer votes per read: votes[r, d] = LCM-scaled match weight.
+
+    reads_codes: [R, L] uint8 code matrix (pad short reads with 4s).
+    Returns (votes [R, D] int, unmatched [R], n_kmers [R]) on host.
+    The reference's per-read voting loop is src/merge_lists.py:151-183.
+    """
+    v, u, nk = _read_votes(
+        (ann.keys, ann.pivot_count, ann.mask),
+        jnp.asarray(reads_codes),
+        0,
+        ann.k,
+        ann.num_datasets,
+        vote_lcm(ann.num_datasets),
+    )
+    return (
+        np.asarray(v).astype(np.int64),
+        np.asarray(u).astype(np.int64),
+        np.asarray(nk).astype(np.int64),
+    )

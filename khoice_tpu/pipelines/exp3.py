@@ -1,0 +1,98 @@
+"""Experiment 3: read k-mer containment across species databases.
+
+Replaces workflow/rules/exp_type_3.smk: reads are simulated from each
+out-pivot genome (Illumina 2x / ONT), subset to the k-mer budget, and for
+every (read_type, pivot, k, dataset) the fraction of the read set's
+distinct k-mers found in the dataset's group union is reported:
+
+    intersection_percent = |distinct(reads) ∩ group| / |distinct(reads)|
+
+rounded to 4 (analysis run: block, exp_type_3.smk:281-320). Row order:
+read_type outer, then pivot, k, dataset (get_all_histogram_files,
+exp_type_3.smk:103-113).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from ..engine.session import KmerEngine
+from ..io.packing import encode_records
+from ..reports.csvio import write_csv_rows
+from ..sim.reads import sim_illumina, sim_ont, subset_reads_kmers
+
+HEADER = "read_type,pivot_num,k,dataset_num,intersection_percent\n"
+
+
+def simulate_exp3_reads(
+    pivots: Dict[int, List[str]],
+    num_kmers: int,
+    seed: int = 0,
+) -> Dict[tuple, List[str]]:
+    """{(read_type, num): [reads]} — Illumina at 2x fold (exp_type_3.smk:129)."""
+    out = {}
+    for num in sorted(pivots):
+        for ridx, read_type in enumerate(("illumina", "ont")):
+            rng = np.random.default_rng([seed, 3, num, ridx])
+            raw = (
+                sim_illumina(pivots[num], rng, coverage=2.0)
+                if read_type == "illumina"
+                else sim_ont(pivots[num], rng)
+            )
+            out[(read_type, num)] = subset_reads_kmers(raw, rng, num_kmers, 31)
+    return out
+
+
+def run_exp3(
+    reads: Dict[tuple, List[str]],
+    rest_of_set: Dict[int, List[List[str]]],
+    k_values: Sequence[int],
+    out_dir: str,
+    engine: KmerEngine | None = None,
+    union_cs: int = 5000,
+    count_cs: int = 255,
+) -> str:
+    """reads: {(read_type, pivot_num): [read strings]} (see
+    simulate_exp3_reads); rest_of_set excludes each pivot (out-pivot)."""
+    eng = engine or KmerEngine()
+    nums = sorted(rest_of_set)
+    read_types = sorted({rt for rt, _ in reads}, key=lambda r: ("illumina", "ont").index(r))
+
+    results = {}
+    for k in k_values:
+        unions = {}
+        for num in nums:
+            members = [
+                eng.set_counts(eng.count_codes(encode_records(g), k, cs=count_cs), 1)
+                for g in rest_of_set[num]
+            ]
+            unions[num] = eng.union(members, cs=union_cs)
+        for read_type in read_types:
+            for pivot_num in nums:
+                pivot_set = eng.set_counts(
+                    eng.count_codes(
+                        encode_records(reads[(read_type, pivot_num)]), k, cs=count_cs
+                    ),
+                    1,
+                )
+                n_pivot = eng.n_present(pivot_set)
+                assert n_pivot > 0, "empty pivot read k-mer set"
+                for num in nums:
+                    inter = eng.intersect_sum(pivot_set, unions[num])
+                    n_inter = eng.n_present(inter)
+                    results[(read_type, pivot_num, k, num)] = round(n_inter / n_pivot, 4)
+
+    rows = [
+        [read_type, str(pivot_num), str(k), str(num), results[(read_type, pivot_num, k, num)]]
+        for read_type in read_types
+        for pivot_num in nums
+        for k in k_values
+        for num in nums
+    ]
+
+    csv = os.path.join(out_dir, "final_analysis_type3/final_analysis_type3.csv")
+    write_csv_rows(csv, HEADER, rows)
+    return csv

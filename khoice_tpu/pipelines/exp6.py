@@ -1,0 +1,102 @@
+"""Experiment 6: read-level k-mer confusion matrix (classification path).
+
+Replaces workflow/rules/exp_type_6.smk + merge_lists.py -r: per
+(k, read_type), a raw-count table over each pivot's simulated reads is
+annotated against the per-dataset group sets; each read votes with weight
+1/|matches| per k-mer (exact LCM-scaled integers here), argmax with seeded
+random tie-break classifies it (src/merge_lists.py:151-183), and one-vs-
+rest accuracy rows concatenate into trial_{t}_{short,long}_acc.csv with
+U-columns (exp_type_6.smk:349-362).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from ..classify import (
+    accuracy_values,
+    build_annotation,
+    read_level_confusion_row,
+    read_votes,
+    write_accuracy_csv,
+    write_confusion_matrix,
+)
+from ..engine.session import KmerEngine
+from ..io.packing import encode_records, encode_seq
+from .exp4 import build_group_sets, glob_lexicographic
+
+READ_TYPE_LABEL = {"illumina": "short", "ont": "long"}
+
+
+def reads_matrix(reads: Sequence[str]) -> np.ndarray:
+    """[R, Lmax] uint8 code matrix, short reads padded with separator 4s."""
+    lmax = max(len(r) for r in reads)
+    out = np.full((len(reads), lmax), 4, np.uint8)
+    for i, r in enumerate(reads):
+        out[i, : len(r)] = encode_seq(r)
+    return out
+
+
+def run_exp6(
+    pivot_reads: Dict[int, List[str]],
+    rest_of_set: Dict[int, List[List[str]]],
+    k_values: Sequence[int],
+    out_dir: str,
+    read_type: str = "illumina",
+    trial: int = 1,
+    seed: int = 0,
+    engine: KmerEngine | None = None,
+    count_cs: int = 255,
+    union_cs: int = 5000,
+) -> str:
+    """pivot_reads: {num: [read strings]} (exp0 subset output);
+    rest_of_set: {num: [genome,...]}. Returns the trial accuracy CSV path.
+    """
+    eng = engine or KmerEngine()
+    nums = sorted(rest_of_set)
+    d = len(nums)
+    label = READ_TYPE_LABEL.get(read_type, read_type)
+    acc_dir = os.path.join(out_dir, f"accuracies_type_6/{read_type}")
+
+    matrices = {num: reads_matrix(pivot_reads[num]) for num in nums}
+
+    for k in k_values:
+        group_sets = build_group_sets(eng, rest_of_set, k, union_cs, count_cs)
+        cm, cm_ucol = [], []
+        for num in nums:
+            pivot_table = eng.count_codes(
+                encode_records(pivot_reads[num]), k, cs=count_cs
+            )
+            ann = build_annotation(pivot_table, [group_sets[j] for j in nums])
+            votes, _unmatched, _nk = read_votes(ann, matrices[num])
+            rng = np.random.default_rng([seed, trial, k, num])
+            row = read_level_confusion_row(votes, d, rng)
+            # regular and with-unidentified matrices take the SAME class
+            # increments (reference merge_lists.py:182-183)
+            cm.append(list(row))
+            cm_ucol.append(list(row))
+
+        write_confusion_matrix(
+            os.path.join(acc_dir, f"confusion_matrix/k_{k}_confusion_matrix.txt"), cm
+        )
+        write_confusion_matrix(
+            os.path.join(
+                acc_dir, f"confusion_matrix/k_{k}_confusion_matrix_with_unidentified.txt"
+            ),
+            cm_ucol,
+        )
+        write_accuracy_csv(
+            os.path.join(acc_dir, f"values/k_{k}_accuracy_values.csv"),
+            accuracy_values(cm, d, str(k)),
+            accuracy_values(cm_ucol, d, str(k)),
+        )
+
+    final = os.path.join(out_dir, f"trial_{trial}_{label}_acc.csv")
+    with open(final, "w") as out_fd:
+        for k in glob_lexicographic(k_values):
+            with open(os.path.join(acc_dir, f"values/k_{k}_accuracy_values.csv")) as fd:
+                out_fd.write(fd.read())
+    return final

@@ -1,0 +1,161 @@
+"""Seeded read simulators + read subsetting (exp0 toolchain equivalents).
+
+The reference shells out to external C++ simulators — ART HS25 for
+150bp Illumina reads at 10x fold-coverage and pbsim with an HMM error
+model, accuracy 0.95, lengths 900-1100 (reference:
+workflow/rules/prepare_data.smk:81,97-98) — and to src/grab_reads.py /
+src/subset_reads.py for sampling. Exact ART/pbsim output cannot be
+reproduced (their error models are external binaries); these equivalents
+keep the parameters that matter downstream (read length/coverage/error
+rate regimes) and are fully deterministic under a numpy seed, per the
+contract's "make seedable" note (SURVEY.md section 7.1).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+_BASES = np.array(list("ACGT"))
+
+
+def _mutate_sub(read: np.ndarray, positions: np.ndarray, rng: np.random.Generator):
+    """Substitute bases at positions with a uniformly different base."""
+    if positions.size == 0:
+        return read
+    shift = rng.integers(1, 4, size=positions.size)
+    read[positions] = (read[positions] + shift) % 4
+    return read
+
+
+def _codes_of(seq: str) -> np.ndarray:
+    lut = np.full(256, 255, np.uint8)
+    for i, ch in enumerate("ACGT"):
+        lut[ord(ch)] = i
+        lut[ord(ch.lower())] = i
+    arr = lut[np.frombuffer(seq.encode(), np.uint8)]
+    return arr[arr != 255]  # simulators sample from unambiguous bases only
+
+
+def _to_str(codes: np.ndarray) -> str:
+    return "".join(_BASES[codes])
+
+
+def sim_illumina(
+    seqs: Sequence[str],
+    rng: np.random.Generator,
+    coverage: float = 10.0,
+    read_len: int = 150,
+    subst_rate: float = 0.0015,
+) -> List[str]:
+    """Illumina-like reads: fixed length, substitution-only errors
+    (ART HS25 regime, reference prepare_data.smk:81)."""
+    out: List[str] = []
+    for seq in seqs:
+        codes = _codes_of(seq)
+        n = codes.shape[0]
+        if n < read_len:
+            continue
+        n_reads = int(math.ceil(coverage * n / read_len))
+        starts = rng.integers(0, n - read_len + 1, size=n_reads)
+        for s in starts:
+            read = codes[s : s + read_len].copy()
+            n_err = rng.binomial(read_len, subst_rate)
+            if n_err:
+                pos = rng.choice(read_len, size=n_err, replace=False)
+                read = _mutate_sub(read, pos, rng)
+            out.append(_to_str(read))
+    return out
+
+
+def sim_ont(
+    seqs: Sequence[str],
+    rng: np.random.Generator,
+    depth: float = 10.0,
+    accuracy_mean: float = 0.95,
+    length_min: int = 900,
+    length_max: int = 1100,
+) -> List[str]:
+    """ONT-like long reads: uniform length in [min,max], errors split
+    ~substitution/insertion/deletion (pbsim regime, prepare_data.smk:97-98)."""
+    out: List[str] = []
+    err_rate = 1.0 - accuracy_mean
+    for seq in seqs:
+        codes = _codes_of(seq)
+        n = codes.shape[0]
+        if n < length_max:
+            continue
+        mean_len = (length_min + length_max) / 2
+        n_reads = int(math.ceil(depth * n / mean_len))
+        for _ in range(n_reads):
+            ln = int(rng.integers(length_min, length_max + 1))
+            s = int(rng.integers(0, n - ln + 1))
+            read = codes[s : s + ln]
+            # apply errors base-by-base: 60% sub / 20% ins / 20% del
+            draws = rng.random(ln)
+            pieces: List[np.ndarray] = []
+            for i in range(ln):
+                if draws[i] >= err_rate:
+                    pieces.append(read[i : i + 1])
+                else:
+                    kind = rng.random()
+                    if kind < 0.6:  # substitution
+                        pieces.append(
+                            np.array([(read[i] + rng.integers(1, 4)) % 4], np.uint8)
+                        )
+                    elif kind < 0.8:  # insertion (keep base + random base)
+                        pieces.append(read[i : i + 1])
+                        pieces.append(
+                            np.array([rng.integers(0, 4)], np.uint8)
+                        )
+                    # else deletion: drop base
+            if pieces:
+                out.append(_to_str(np.concatenate(pieces)))
+    return out
+
+
+def grab_reads(
+    seqs: Sequence[str],
+    rng: np.random.Generator,
+    num_reads: int,
+    read_length: int,
+) -> List[str]:
+    """Uniform fixed-length read sampler (src/grab_reads.py:13-49 role):
+    num_reads per sequence pooled, then num_reads sampled w/o replacement."""
+    pool: List[str] = []
+    for seq in seqs:
+        codes = _codes_of(seq)
+        n = codes.shape[0]
+        if n < read_length:
+            continue
+        starts = rng.integers(0, n - read_length + 1, size=num_reads)
+        pool.extend(_to_str(codes[s : s + read_length]) for s in starts)
+    idx = rng.choice(len(pool), size=min(num_reads, len(pool)), replace=False)
+    return [pool[i] for i in idx]
+
+
+def subset_reads_kmers(
+    reads: Sequence[str],
+    rng: np.random.Generator,
+    num_kmers: int,
+    k: int,
+) -> List[str]:
+    """Sample reads without replacement until the k-mer budget
+    sum(len - k + 1) >= num_kmers is reached (src/subset_reads.py:22-47).
+    Raises if the input cannot satisfy the budget, like the reference."""
+    order = rng.permutation(len(reads))
+    out: List[str] = []
+    total = 0
+    for i in order:
+        if total >= num_kmers:
+            break
+        r = reads[i]
+        out.append(r)
+        total += max(0, len(r) - k + 1)
+    if total < num_kmers:
+        raise ValueError(
+            f"read set has only {total} k-mers, {num_kmers} requested"
+        )
+    return out

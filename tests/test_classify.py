@@ -1,0 +1,152 @@
+"""Classification (merge_lists semantics) vs dict-based oracle."""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import random_dna
+from khoice_tpu import oracle
+from khoice_tpu.classify import (
+    build_annotation,
+    feature_buckets,
+    read_votes,
+)
+from khoice_tpu.classify.annotate import vote_lcm
+from khoice_tpu.engine import count_codes, set_counts, union_many
+from khoice_tpu.io import encode_records
+from khoice_tpu.pipelines.exp4 import run_exp4
+from khoice_tpu.pipelines.exp6 import run_exp6, reads_matrix
+
+
+def make_world(rng, d=3, genomes_per=2, glen=300):
+    """Returns (pivots {num: [seq]}, rest {num: [[seq],...]})."""
+    base = random_dna(rng, glen)
+    rest, pivots = {}, {}
+    for num in range(1, d + 1):
+        genomes = []
+        for g in range(genomes_per):
+            seq = list(base)
+            for _ in range(20 * num + g):
+                seq[rng.randrange(glen)] = "ACGT"[rng.randrange(4)]
+            genomes.append(["".join(seq)])
+        rest[num] = genomes
+        pseq = list(base)
+        for _ in range(15 * num):
+            pseq[rng.randrange(glen)] = "ACGT"[rng.randrange(4)]
+        pivots[num] = ["".join(pseq)]
+    return pivots, rest
+
+
+def oracle_group_sets(rest, k):
+    return {
+        num: oracle.set_counts(
+            oracle.union_sum(
+                [oracle.set_counts(oracle.count_kmers(g, k), 1) for g in rest[num]],
+                cs=5000,
+            ),
+            1,
+        )
+        for num in rest
+    }
+
+
+def oracle_buckets(pivot_counts, group_sets, nums):
+    d = len(nums)
+    buckets = np.zeros((d, d), np.int64)
+    unique = 0
+    for km, cnt in pivot_counts.items():
+        matches = [i for i, num in enumerate(nums) if km in group_sets[num]]
+        if not matches:
+            unique += cnt
+        else:
+            for m in matches:
+                buckets[m, len(matches) - 1] += cnt
+    return buckets, unique
+
+
+@pytest.mark.parametrize("k", [9, 17])
+def test_feature_buckets_match_oracle(rng, k):
+    pivots, rest = make_world(rng)
+    nums = sorted(rest)
+    gs = {
+        num: set_counts(
+            union_many(
+                [set_counts(count_codes(jnp.asarray(encode_records(g)), k), 1) for g in rest[num]],
+                cs=5000,
+            ),
+            1,
+        )
+        for num in nums
+    }
+    ogs = oracle_group_sets(rest, k)
+    for num in nums:
+        pt = count_codes(jnp.asarray(encode_records(pivots[num])), k)
+        ann = build_annotation(pt, [gs[j] for j in nums])
+        buckets, unique = feature_buckets(ann)
+        opc = oracle.count_kmers(pivots[num], k)
+        ob, ou = oracle_buckets(opc, ogs, nums)
+        assert np.array_equal(buckets, ob), f"pivot {num}"
+        assert unique == ou
+
+
+def test_read_votes_match_oracle(rng):
+    k = 11
+    pivots, rest = make_world(rng)
+    nums = sorted(rest)
+    num = 1
+    reads = [random_dna(rng, 60) for _ in range(10)]
+    # reads drawn from the pivot so k-mers overlap the sets
+    reads += [pivots[num][0][i : i + 60] for i in range(0, 200, 40)]
+
+    gs = {
+        j: set_counts(
+            union_many(
+                [set_counts(count_codes(jnp.asarray(encode_records(g)), k), 1) for g in rest[j]],
+                cs=5000,
+            ),
+            1,
+        )
+        for j in nums
+    }
+    pt = count_codes(jnp.asarray(encode_records(reads)), k)
+    ann = build_annotation(pt, [gs[j] for j in nums])
+    votes, unmatched, nk = read_votes(ann, reads_matrix(reads))
+
+    ogs = oracle_group_sets(rest, k)
+    lcm = vote_lcm(len(nums))
+    for r, read in enumerate(reads):
+        ov = np.zeros(len(nums), np.int64)
+        ou = 0
+        for i in range(len(read) - k + 1):
+            km = oracle.canonical(read[i : i + k])
+            matches = [j for j, nn in enumerate(nums) if km in ogs[nn]]
+            if matches:
+                for m in matches:
+                    ov[m] += lcm // len(matches)
+            else:
+                ou += 1
+        assert np.array_equal(votes[r], ov), f"read {r}"
+        assert unmatched[r] == ou
+        assert nk[r] == len(read) - k + 1
+
+
+def test_exp4_exp6_end_to_end(rng, tmp_path):
+    pivots, rest = make_world(rng)
+    ks = [7, 9]
+    out = run_exp4(pivots, rest, ks, str(tmp_path))
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == len(ks) * len(rest)
+    # TP+TN+FP+FN match total weight per pivot row
+    first = lines[0].split(",")
+    assert first[0] in {"7", "9"}
+
+    reads = {num: [pivots[num][0][i : i + 50] for i in range(0, 250, 25)] for num in rest}
+    out6 = run_exp6(reads, rest, ks, str(tmp_path), read_type="illumina")
+    lines6 = open(out6).read().strip().split("\n")
+    assert len(lines6) == len(ks) * len(rest)
+    row = [int(float(x)) for x in lines6[0].split(",")]
+    # [k, pivot, TP, TN, FP, FN, ...-U] : total reads conserved per k
+    assert len(row) == 10

@@ -1,0 +1,115 @@
+"""exp0 data prep, exp2 pivot-vs-group CSVs (vs oracle), exp3 containment."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import random_dna
+from khoice_tpu import oracle
+from khoice_tpu.config import KhoiceConfig
+from khoice_tpu.pipelines.exp0 import run_exp0, load_database_dir
+from khoice_tpu.pipelines.exp2 import run_exp2
+from khoice_tpu.pipelines.exp3 import run_exp3
+from khoice_tpu.reports.metrics import summarize_histogram_type2
+
+
+def make_world(rng, d=3, genomes_per=3, glen=400):
+    base = random_dna(rng, glen)
+    db = {}
+    for num in range(1, d + 1):
+        genomes = {}
+        for g in range(genomes_per):
+            seq = list(base)
+            for _ in range(25 * num + 7 * g):
+                seq[rng.randrange(glen)] = "ACGT"[rng.randrange(4)]
+            genomes[f"genome_{num}_{g}"] = ["".join(seq)]
+        db[num] = genomes
+    return db
+
+
+def test_exp0_layout_and_determinism(rng, tmp_path):
+    db = make_world(rng, glen=3000)
+    cfg = KhoiceConfig(num_datasets=3, kmers_per_dataset=2000)
+    out1 = run_exp0(db, cfg, trial=1, out_dir=str(tmp_path / "a"))
+    out2 = run_exp0(db, cfg, trial=1, out_dir=str(tmp_path / "b"))
+    assert out1["pivots"] == out2["pivots"]
+    assert out1["reads"].keys() == out2["reads"].keys()
+    for key in out1["reads"]:
+        assert out1["reads"][key] == out2["reads"][key]
+    t = tmp_path / "a" / "trial_1"
+    assert (t / "exp0_pivot_genomes/dataset_1/pivot_1.fna.gz").exists()
+    assert (t / "exp0_pivot_reads/dataset_2/ont/pivot_2_subset.fa").exists()
+    assert (tmp_path / "a" / "trial_summaries/trial_1_summary.txt").exists()
+    # round-trip via the reference database layout reader
+    loaded = load_database_dir(str(t / "exp0_nonpivot_genomes"))
+    assert sorted(loaded) == [1, 2, 3]
+
+
+def oracle_exp2_metrics(pivots, rest, k, num, nums):
+    pivot_set = oracle.set_counts(oracle.count_kmers(pivots[num], k), 1)
+    members = [oracle.set_counts(oracle.count_kmers(g, k), 1) for g in rest[num]]
+    rest_union = oracle.union_sum(members, cs=5000)
+    inter = oracle.intersect_sum(pivot_set, rest_union)
+    sub = oracle.subtract(pivot_set, rest_union)
+    return (
+        oracle.histogram(sub, cx=10000),
+        oracle.histogram(inter, cx=10000),
+    )
+
+
+def test_exp2_matches_oracle(rng, tmp_path):
+    db = make_world(rng)
+    pivots = {num: db[num]["genome_%d_0" % num] for num in db}
+    rest = {num: [db[num][f"genome_{num}_{g}"] for g in (1, 2)] for num in db}
+    ks = [7, 11]
+    out = run_exp2(pivots, rest, ks, str(tmp_path))
+
+    nums = sorted(rest)
+    rows = []
+    for num in nums:
+        for k in ks:
+            sub_h, int_h = oracle_exp2_metrics(pivots, rest, k, num, nums)
+            rows.append(
+                [f"group_{num}", str(k)]
+                + summarize_histogram_type2(sub_h, int_h, len(rest[num]), False, k)
+            )
+    for gid in [f"group_{n}" for n in nums]:
+        mx = max(r[8] for r in rows if r[0] == gid)
+        for r in rows:
+            if r[0] == gid:
+                r.append(round(r[8] / mx, 4))
+
+    got = open(out["within"]).read().strip().split("\n")[1:]
+    want = [",".join(str(x) for x in r) for r in rows]
+    assert got == want
+
+    across = open(out["across"]).read().strip().split("\n")
+    assert across[0].startswith("group_num,k,percent_1_occ,percent_2_to_3")
+    assert len(across) == 1 + len(ks) * len(nums)
+
+
+def test_exp3_containment(rng, tmp_path):
+    db = make_world(rng, glen=500)
+    pivots = {num: db[num]["genome_%d_0" % num] for num in db}
+    rest = {num: [db[num][f"genome_{num}_{g}"] for g in (1, 2)] for num in db}
+    reads = {}
+    for num in pivots:
+        for rt in ("illumina", "ont"):
+            reads[(rt, num)] = [pivots[num][0][i : i + 80] for i in range(0, 400, 40)]
+    ks = [9]
+    csv = run_exp3(reads, rest, ks, str(tmp_path))
+    lines = open(csv).read().strip().split("\n")
+    assert lines[0] == "read_type,pivot_num,k,dataset_num,intersection_percent"
+    assert len(lines) == 1 + 2 * len(pivots) * len(ks) * len(rest)
+    # containment of a pivot's own reads vs oracle
+    rt, pnum, num = "illumina", 1, 1
+    pivot_set = oracle.set_counts(oracle.count_kmers(reads[(rt, pnum)], 9), 1)
+    union = oracle.union_sum(
+        [oracle.set_counts(oracle.count_kmers(g, 9), 1) for g in rest[num]], cs=5000
+    )
+    inter = oracle.intersect_sum(pivot_set, union)
+    want = round(len(inter) / len(pivot_set), 4)
+    row0 = lines[1].split(",")
+    assert row0[:4] == ["illumina", "1", "9", "1"]
+    assert float(row0[4]) == want

@@ -1,0 +1,226 @@
+"""Command-line interface: `python -m khoice_tpu run --exp-type N ...`.
+
+Replaces the reference's `snakemake --cores N --config WORK_ROOT=...
+EXP_TYPE=...` entry point (reference README.md:36-42). Inputs follow the
+reference's database layout (`database_root/dataset_{i}/*.fna.gz`,
+src/download_genomes.py:252-261) and exp0's trial_{t}/ layout; outputs are
+written under --work-root with the reference's directory names so resumed
+runs skip satisfied stages (runtime/driver.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from typing import Dict, List
+
+from .config import KhoiceConfig
+from .io.fasta import read_fasta
+from .runtime.driver import Driver, Stage
+from .utils.logging import get_logger
+
+log = get_logger("khoice.cli")
+
+
+def _load_datasets(database_root: str) -> Dict[int, Dict[str, List[str]]]:
+    from .pipelines.exp0 import load_database_dir
+
+    db = load_database_dir(database_root)
+    if not db:
+        raise SystemExit(f"no dataset_N directories under {database_root}")
+    return db
+
+
+def _trial_root(cfg: KhoiceConfig) -> str:
+    return os.path.join(cfg.work_root, f"trial_{cfg.curr_trial}")
+
+
+def _ensure_exp0(cfg: KhoiceConfig, db) -> dict:
+    """Run exp0 for the current trial unless its outputs already exist."""
+    from .pipelines.exp0 import run_exp0, READ_TYPES
+
+    troot = _trial_root(cfg)
+    marker = os.path.join(troot, "exp0_pivot_genomes")
+    if os.path.isdir(marker):
+        return _load_exp0(cfg, db)
+    return run_exp0(db, cfg, cfg.curr_trial, cfg.work_root)
+
+
+def _load_exp0(cfg: KhoiceConfig, db) -> dict:
+    """Re-load a previously produced exp0 trial layout."""
+    troot = _trial_root(cfg)
+    pivots, nonpivots, reads = {}, {}, {}
+    for num in sorted(db):
+        with open(os.path.join(troot, f"exp0_pivot_genomes/dataset_{num}/pivot_name.txt")) as fd:
+            pivots[num] = fd.read().strip()
+        with open(os.path.join(troot, f"exp0_nonpivot_genomes/dataset_{num}/nonpivot_names.txt")) as fd:
+            nonpivots[num] = [x.strip() for x in fd if x.strip()]
+        for rt in ("illumina", "ont"):
+            path = os.path.join(troot, f"exp0_pivot_reads/dataset_{num}/{rt}/pivot_{num}_subset.fa")
+            reads[(num, rt)] = [r.seq for r in read_fasta(path)]
+    return {"pivots": pivots, "nonpivots": nonpivots, "reads": reads}
+
+
+def cmd_run(args) -> int:
+    cfg = (
+        KhoiceConfig.from_yaml(args.config)
+        if args.config
+        else KhoiceConfig()
+    )
+    if args.work_root:
+        cfg.work_root = args.work_root
+    if args.database_root:
+        cfg.database_root = args.database_root
+    if args.exp_type is not None:
+        cfg.exp_type = args.exp_type
+    if args.k_values:
+        cfg.k_values = [int(x) for x in args.k_values.split(",")]
+    if args.num_datasets:
+        cfg.num_datasets = args.num_datasets
+    if args.kmers_per_dataset:
+        cfg.kmers_per_dataset = args.kmers_per_dataset
+
+    db = _load_datasets(cfg.database_root)
+    driver = Driver(cfg.work_root, force=args.force)
+    et = cfg.exp_type
+    log.info("exp_type=%d datasets=%d k-grid=%d points", et, len(db), len(cfg.k_values))
+
+    def genomes_of(num):
+        return [db[num][name] for name in sorted(db[num])]
+
+    if et == 0:
+        driver.run([Stage(
+            name="exp0",
+            outputs=[os.path.join(cfg.work_root, f"trial_summaries/trial_{cfg.curr_trial}_summary.txt")],
+            fn=lambda: _ensure_exp0(cfg, db),
+        )])
+    elif et == 1:
+        from .pipelines.exp1 import run_exp1
+
+        groups = {num: genomes_of(num) for num in db}
+        driver.run([Stage(
+            name="exp1",
+            outputs=[
+                os.path.join(cfg.work_root, "step_5/within_datasets_analysis.csv"),
+                os.path.join(cfg.work_root, "step_9/across_datasets_analysis.csv"),
+            ],
+            fn=lambda: run_exp1(groups, cfg.k_values, cfg.work_root,
+                                union_cs=cfg.union_cs, count_cs=cfg.count_cs,
+                                hist_cx=cfg.hist_cx),
+        )])
+    elif et in (2, 3, 4, 5, 6, 7, 8):
+        exp0 = _ensure_exp0(cfg, db)
+        pivots = {num: db[num][exp0["pivots"][num]] for num in db}
+        nonpivot_genomes = {
+            num: [db[num][n] for n in exp0["nonpivots"][num]] for num in db
+        }
+        if et == 2:
+            from .pipelines.exp2 import run_exp2
+
+            driver.run([Stage(
+                name="exp2",
+                outputs=[os.path.join(cfg.work_root, "within_dataset_analysis_type_2/within_dataset_analysis.csv")],
+                fn=lambda: run_exp2(pivots, nonpivot_genomes, cfg.k_values, cfg.work_root,
+                                    union_cs=cfg.union_cs, count_cs=cfg.count_cs,
+                                    hist_cx=cfg.hist_cx),
+            )])
+        elif et == 3:
+            from .pipelines.exp3 import run_exp3, simulate_exp3_reads
+
+            reads = simulate_exp3_reads(pivots, cfg.kmers_per_dataset, seed=cfg.read_sim_seed)
+            driver.run([Stage(
+                name="exp3",
+                outputs=[os.path.join(cfg.work_root, "final_analysis_type3/final_analysis_type3.csv")],
+                fn=lambda: run_exp3(reads, nonpivot_genomes, cfg.k_values, cfg.work_root,
+                                    union_cs=cfg.union_cs, count_cs=cfg.count_cs),
+            )])
+        elif et == 4:
+            from .pipelines.exp4 import run_exp4
+
+            rest = dict(nonpivot_genomes)
+            if not cfg.out_pivot:  # in-pivot adds the pivot to its own group
+                rest = {num: rest[num] + [pivots[num]] for num in rest}
+            driver.run([Stage(
+                name="exp4",
+                outputs=[os.path.join(cfg.work_root, "accuracies_type_4/accuracy_values.csv")],
+                fn=lambda: run_exp4(pivots, rest, cfg.k_values, cfg.work_root,
+                                    count_cs=cfg.count_cs, union_cs=cfg.union_cs),
+            )])
+        elif et == 6:
+            from .pipelines.exp6 import run_exp6, READ_TYPE_LABEL
+
+            rest = dict(nonpivot_genomes)
+            if not cfg.out_pivot:
+                rest = {num: rest[num] + [pivots[num]] for num in rest}
+            stages = []
+            for rt in ("illumina", "ont"):
+                label = READ_TYPE_LABEL[rt]
+                reads_rt = {num: exp0["reads"][(num, rt)] for num in db}
+                stages.append(Stage(
+                    name=f"exp6_{rt}",
+                    outputs=[os.path.join(cfg.work_root, f"trial_{cfg.curr_trial}_{label}_acc.csv")],
+                    fn=(lambda reads_rt=reads_rt, rt=rt: run_exp6(
+                        reads_rt, rest, cfg.k_values, cfg.work_root,
+                        read_type=rt, trial=cfg.curr_trial, seed=cfg.seed,
+                        count_cs=cfg.count_cs, union_cs=cfg.union_cs)),
+                ))
+            driver.run(stages)
+        elif et == 5:
+            from .pipelines.exp5 import run_exp5
+
+            driver.run([Stage(
+                name="exp5",
+                outputs=[os.path.join(cfg.work_root, "output_type_5/mems/confusion_matrix.csv")],
+                fn=lambda: run_exp5(pivots, nonpivot_genomes, cfg.work_root,
+                                    threshold=cfg.threshold, seed=cfg.seed),
+            )])
+        elif et == 7:
+            from .pipelines.exp7 import run_exp7
+
+            reads7 = {num: exp0["reads"][(num, "illumina")] for num in db}
+            driver.run([Stage(
+                name="exp7",
+                outputs=[os.path.join(cfg.work_root, "output_type_7/mems/confusion_matrix.csv")],
+                fn=lambda: run_exp7(reads7, nonpivot_genomes, cfg.work_root,
+                                    threshold=cfg.threshold, seed=cfg.seed),
+            )])
+        elif et == 8:
+            from .pipelines.exp8 import run_exp8
+
+            reads8 = {num: exp0["reads"][(num, "illumina")] for num in db}
+            driver.run([Stage(
+                name="exp8",
+                outputs=[os.path.join(cfg.work_root, f"output_type_8/mems/t_{cfg.t_values[0]}/confusion_matrix.csv")],
+                fn=lambda: run_exp8(reads8, nonpivot_genomes, cfg.work_root,
+                                    t_values=cfg.t_values, seed=cfg.seed),
+            )])
+    else:
+        raise SystemExit(f"unknown exp type {et}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="khoice-tpu",
+        description="TPU-native k-mer discriminatory-power analysis engine",
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    run_p = sub.add_parser("run", help="run an experiment pipeline")
+    run_p.add_argument("--exp-type", type=int, default=None)
+    run_p.add_argument("--config", default=None, help="YAML config (reference schema)")
+    run_p.add_argument("--work-root", default=None)
+    run_p.add_argument("--database-root", default=None)
+    run_p.add_argument("--k-values", default=None, help="comma-separated k grid override")
+    run_p.add_argument("--num-datasets", type=int, default=None)
+    run_p.add_argument("--kmers-per-dataset", type=int, default=None)
+    run_p.add_argument("--force", action="store_true", help="ignore satisfied outputs")
+    run_p.set_defaults(fn=cmd_run)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

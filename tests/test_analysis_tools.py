@@ -1,0 +1,128 @@
+"""Downloads (stubbed), confusion rollup, MSA entropy, plot smoke tests."""
+
+import csv
+import math
+import os
+
+import numpy as np
+import pytest
+
+from khoice_tpu.analysis.confusion_rollup import rollup_confusion_dir
+from khoice_tpu.analysis.msa import (
+    column_entropy,
+    find_cut_points,
+    msa_entropy,
+    rolling_average,
+    sections_from_cuts,
+)
+from khoice_tpu.tools.download import (
+    download_genomes,
+    esearch_ftp_paths,
+    genomic_fna_url,
+    protein_faa_url,
+)
+
+
+def test_download_stubbed(tmp_path):
+    calls = []
+
+    def runner(cmd, stdin=None):
+        calls.append(cmd)
+        if cmd[0] == "bash":
+            return (
+                "ftp://ncbi/genomes/all/GCF_000001\n"
+                "ftp://ncbi/genomes/all/GCF_000002\n"
+            )
+        return ""
+
+    db = download_genomes(
+        ["Escherichia coli", "Salmonella enterica"],
+        str(tmp_path),
+        num_genomes=1,
+        runner=runner,
+    )
+    assert os.path.basename(db) == "database_1"
+    assert os.path.exists(os.path.join(db, "README_dataset_summary.txt"))
+    urls = open(os.path.join(db, "data/dataset_1/url_list.txt")).read()
+    assert urls.strip() == "ftp://ncbi/genomes/all/GCF_000001/GCF_000001_genomic.fna.gz"
+    # second call auto-numbers
+    db2 = download_genomes(["X"], str(tmp_path), runner=runner)
+    assert os.path.basename(db2) == "database_2"
+
+
+def test_url_builders():
+    d = "https://ftp.ncbi.nlm.nih.gov/genomes/all/GCF_0001.1_ASM"
+    assert genomic_fna_url(d).endswith("GCF_0001.1_ASM_genomic.fna.gz")
+    assert protein_faa_url(d).endswith("GCF_0001.1_ASM_protein.faa.gz")
+
+
+def test_rollup(tmp_path):
+    mdir = tmp_path / "m"
+    mdir.mkdir()
+    for k in ("7", "8"):
+        with open(mdir / f"k_{k}_confusion_matrix.csv", "w") as fd:
+            fd.write("5,1,0\n2,6,0\n")
+    out = rollup_confusion_dir(str(mdir), 2, str(tmp_path), "short", k_values=["7", "8"])
+    rows = open(out, newline="").read().strip().split("\r\n")
+    assert len(rows) == 4
+    first = rows[0].split(",")
+    assert first[:2] == ["7", "0"] and float(first[2]) == 5.0
+
+
+def test_msa_entropy():
+    assert column_entropy("AAAA") == 0.0
+    assert abs(column_entropy("ACGT") - 2.0) < 1e-12
+    rows = ["ACGT", "ACGA", "ACGC"]
+    ent = msa_entropy(rows)
+    assert ent[0] == ent[1] == ent[2] == 0.0 and ent[3] > 0
+    sm = rolling_average(np.array([1.0, 1.0, 0.0, 0.0]), window=2)
+    assert sm.tolist() == [1.0, 1.0, 0.5, 0.0]
+    cuts = find_cut_points(np.array([0.1, 0.1, 0.9, 0.05]), threshold=0.3, min_gap=2)
+    assert cuts == [0, 3]
+    assert sections_from_cuts(10, [3]) == [(0, 3), (3, 10)]
+
+
+def test_plots_smoke(tmp_path):
+    from khoice_tpu.analysis import plots
+
+    step5 = tmp_path / "step5.csv"
+    with open(step5, "w") as fd:
+        fd.write(
+            "group_num,k,percent_1_occ,percent_25_or_less,percent_25_to_75,"
+            "percent_75_or_more,unique_stat,unique_stat_norm,delta_frac,delta_frac_norm\n"
+        )
+        for g in ("group_1", "group_2"):
+            for k in (7, 9, 11):
+                fd.write(f"{g},{k},0.5,0.2,0.2,0.1,1.5,0.5,100.0,0.9\n")
+    out = plots.plot_type1(str(step5), str(tmp_path / "t1.png"))
+    assert os.path.getsize(out) > 0
+
+    acc = tmp_path / "acc.csv"
+    with open(acc, "w") as fd:
+        for k in (7, 9):
+            for p in (0, 1):
+                fd.write(f"{k},{p},10,20,3,4,10,20,3,4\n")
+    out = plots.plot_accuracy_curves(str(acc), str(tmp_path / "f1.png"))
+    assert os.path.getsize(out) > 0
+    out = plots.plot_species_comparison([str(acc)], str(tmp_path / "sp.png"))
+    assert os.path.getsize(out) > 0
+
+    cm = tmp_path / "cm.csv"
+    with open(cm, "w") as fd:
+        fd.write("5,1\n2,6\n")
+    out = plots.plot_confusion_heatmap(str(cm), str(tmp_path / "cm.png"))
+    assert os.path.getsize(out) > 0
+
+    t3 = tmp_path / "t3.csv"
+    with open(t3, "w") as fd:
+        fd.write("read_type,pivot_num,k,dataset_num,intersection_percent\n")
+        for rt in ("illumina", "ont"):
+            for p in ("1", "2"):
+                for k in (7, 9):
+                    for ds in ("1", "2"):
+                        fd.write(f"{rt},{p},{k},{ds},0.5\n")
+    out = plots.plot_type3(str(t3), str(tmp_path / "t3.png"))
+    assert os.path.getsize(out) > 0
+
+    out = plots.plot_database_percent({25: str(step5), 100: str(step5)}, str(tmp_path / "dp.png"))
+    assert os.path.getsize(out) > 0

@@ -1,17 +1,21 @@
 #!/usr/bin/env python3
-"""Headline benchmark: canonical k-mers/s/chip on the counting core.
+"""Headline benchmark: canonical k-mers/s/chip on counting + set-ops.
 
-Counts canonical 31-mers (KMC3's `kmc -fm -k31 -ci1` role, reference:
-workflow/rules/exp_type_1.smk:163) over a synthetic 16.8 Mbp genome on one
-chip, steady-state. The step is chained inside one jit (fori_loop) and only
-a checksum scalar is fetched, so the number reflects device time, not the
+Runs the fused exp1 inner operation — canonical 31-mer extraction, the
+(key, genome_id) sort, genome-occurrence reduction and occurrence
+histogram over an 8-genome group of 16.8 Mbp total — i.e. the work of the
+reference's `kmc` count per genome + `kmc_tools complex` union +
+`histogram` chain per (k, group) (workflow/rules/exp_type_1.smk:156-191),
+on one chip, steady-state. The step is chained inside one jit (fori_loop)
+and only a scalar is fetched, so the number reflects device time, not the
 axon tunnel's ~20ms dispatch/fetch latency.
 
 Baseline: the reference publishes no numbers (BASELINE.md) and KMC3 cannot
 be installed here (zero egress). vs_baseline is computed against 150M
-canonical k-mers/s — a representative KMC3 multithreaded single-node rate
-derived from the KMC3 paper's reported wall-clocks (counting F. vesca /
-H. sapiens class datasets; see PAPERS.md, KMC3 arXiv:1701.08022).
+canonical k-mers/s — a representative KMC3 multithreaded single-node
+*counting-only* rate derived from the KMC3 paper's reported wall-clocks
+(arXiv:1701.08022; see PAPERS.md) — conservative, since the reference
+additionally pays the kmc_tools union/histogram passes included here.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -27,7 +31,8 @@ import numpy as np
 
 KMC3_BASELINE_KMERS_PER_S = 150e6
 K = 31
-LOG_N = 24
+N_GENOMES = 8
+GENOME_LEN = 1 << 21  # 8 x 2 Mbp = 16.8M k-mers per step
 ITERS = 8
 
 
@@ -38,32 +43,39 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-    from khoice_tpu.engine import ops
+    from khoice_tpu.engine.bits import key_words
+    from khoice_tpu.engine.occurrence import _occurrence_histogram, pack_members
 
-    n = 1 << LOG_N
     rng = np.random.default_rng(0)
-    codes = jnp.asarray(rng.integers(0, 4, size=n, dtype=np.uint8))
+    members = [
+        rng.integers(0, 4, size=GENOME_LEN, dtype=np.uint8)
+        for _ in range(N_GENOMES)
+    ]
+    codes, gids = pack_members(members)
+    n_kmers = N_GENOMES * GENOME_LEN
+    w = key_words(K)
+    cj, gj = jnp.asarray(codes), jnp.asarray(gids)
 
     @jax.jit
-    def rep(codes):
+    def rep(c, g):
         def body(i, acc):
-            c = (codes + i.astype(jnp.uint8)) & 3
-            t = ops.count_codes(c, k=K, cs=255)
-            return acc + jnp.sum(t.counts.astype(jnp.int32))
+            h = _occurrence_histogram(
+                ((c + i.astype(jnp.uint8)) % 5, g), K, 5000, 255, w, N_GENOMES
+            )
+            return acc + h[0]
         return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))
 
-    # warmup/compile
-    chk = int(np.asarray(rep(codes)))
+    chk = int(np.asarray(rep(cj, gj)))  # warmup/compile
     times = []
     for _ in range(3):
         t0 = time.time()
-        np.asarray(rep(codes))
+        np.asarray(rep(cj, gj))
         times.append(time.time() - t0)
     per_iter = min(times) / ITERS
-    kmers_per_s = n / per_iter
+    kmers_per_s = n_kmers / per_iter
 
     print(json.dumps({
-        "metric": "canonical_kmers_per_s_per_chip",
+        "metric": "canonical_kmers_per_s_per_chip_count_union_hist",
         "value": round(kmers_per_s / 1e6, 1),
         "unit": "Mkmer/s",
         "vs_baseline": round(kmers_per_s / KMC3_BASELINE_KMERS_PER_S, 2),

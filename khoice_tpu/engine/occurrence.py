@@ -1,0 +1,102 @@
+"""Fused genome-occurrence counting — the north-star fast path.
+
+The reference's exp1 inner loop per (k, group) is: count each genome
+(KMC), set_counts 1, n-way union with count-sum, histogram — four process
+boundaries and G+1 sorts' worth of work (exp_type_1.smk:156-191). But the
+quantity it computes per k-mer is just "how many distinct genomes contain
+it". That is ONE variadic device sort of (canonical key, genome_id) pairs:
+
+  sort by (key, gid) -> a key's run contains its (key, gid) sub-runs ->
+  occurrences = number of sub-run starts inside the key run ->
+  histogram of occurrences (saturated at the union counter cap).
+
+Everything after the sort is gather/scatter-free prefix-scan work (see
+ops._run_sums). The same program computes the across-group histogram with
+group ids in place of genome ids. Bit-identical to the composed table ops
+(tested against them and the oracle), ~G x less sort volume.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .bits import key_words, words_eq, words_is_sentinel
+from .extract import extract_canonical
+from .ops import _run_sums
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3))
+def _occurrence_counts(codes_gids, k, cs, n_words):
+    """codes_gids: (codes uint8 [N], gids uint32 [N]).
+
+    Returns (keys, occ_counts) in run form: occ at each distinct key's
+    first slot = number of distinct gids containing it (capped at cs).
+    """
+    codes, gids = codes_gids
+    keys, valid = extract_canonical(codes, k)
+    gid_key = jnp.where(valid, gids, jnp.uint32(0xFFFFFFFF))
+    sorted_ops = jax.lax.sort(
+        list(keys) + [gid_key], num_keys=n_words + 1, is_stable=False
+    )
+    skeys = tuple(sorted_ops[:n_words])
+    sgids = sorted_ops[n_words]
+
+    prev_keys = tuple(jnp.roll(w, 1) for w in skeys)
+    key_new = ~words_eq(skeys, prev_keys)
+    key_new = key_new.at[0].set(True)
+    gid_new = sgids != jnp.roll(sgids, 1)
+    sub_start = (key_new | gid_new).astype(jnp.uint32)
+
+    occ = _run_sums(sub_start, key_new)
+    occ = jnp.minimum(occ, jnp.uint32(cs))
+    occ = jnp.where(words_is_sentinel(skeys), 0, occ)
+    return skeys, occ
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _occurrence_histogram(codes_gids, k, cs, cx, n_words, n_members):
+    _, occ = _occurrence_counts(codes_gids, k, cs, n_words)
+    # occ <= n_members, so the histogram is n_members comparison-reductions
+    # — far cheaper than sorting the counts array.
+    max_occ = min(n_members, cx)
+    bins = [jnp.sum((occ == b).astype(jnp.int32)) for b in range(1, max_occ + 1)]
+    hist = jnp.zeros((cx,), jnp.int32)
+    return hist.at[: max_occ].set(jnp.stack(bins))
+
+
+def pack_members(member_codes: Sequence[np.ndarray]):
+    """Concatenate member code arrays with separators and emit gid labels."""
+    parts, gparts = [], []
+    for gid, codes in enumerate(member_codes):
+        parts.append(np.asarray(codes, np.uint8))
+        parts.append(np.full(1, 4, np.uint8))
+        gparts.append(np.full(codes.shape[0] + 1, gid, np.uint32))
+    codes = np.concatenate(parts)
+    gids = np.concatenate(gparts)
+    # pad to a 1 MiB granule: bounded compile variety, <=6% waste on real
+    # genomes (pow2 padding would waste up to 2x sort volume)
+    granule = 1 << 20
+    n = max(int(codes.shape[0]), 1024)
+    p = ((n + granule - 1) // granule) * granule if n > granule else 1 << (n - 1).bit_length()
+    pad = p - codes.shape[0]
+    codes = np.concatenate([codes, np.full(pad, 4, np.uint8)])
+    gids = np.concatenate([gids, np.zeros(pad, np.uint32)])
+    return codes, gids
+
+
+def occurrence_histogram(
+    member_codes: Sequence[np.ndarray], k: int, cs: int = 5000, cx: int = 10000
+) -> List[int]:
+    """hist[i-1] = number of distinct canonical k-mers present in exactly i
+    members (the exp1 within/across-group histogram), in one fused pass."""
+    codes, gids = pack_members(member_codes)
+    w = key_words(k)
+    hist = _occurrence_histogram(
+        (jnp.asarray(codes), jnp.asarray(gids)), k, cs, cx, w, len(member_codes)
+    )
+    return np.asarray(hist).tolist()

@@ -55,8 +55,14 @@ def run_exp1(
     count_cs: int = 255,
     hist_cx: int = 10000,
     write_hists: bool = True,
+    fused: bool = True,
 ) -> Dict[str, str]:
     """groups: {group_num: [genome as list-of-record-seqs, ...]}.
+
+    fused=True uses the single-sort genome-occurrence path
+    (engine/occurrence.py) — bit-identical histograms, ~G x less sort
+    volume than the composed count/union path (fused=False keeps the
+    kmc_tools-shaped table ops for cross-validation).
 
     Returns {"step_5": csv_path, "step_9": csv_path}.
     """
@@ -71,15 +77,30 @@ def run_exp1(
     within_hists: Dict[tuple, List[int]] = {}
     across_hists: Dict[int, List[int]] = {}
 
+    if fused:
+        from ..engine.occurrence import occurrence_histogram
+        import numpy as np
+
+        group_concat = {
+            num: np.concatenate(
+                [np.concatenate([c, np.full(1, 4, np.uint8)]) for c in codes[num]]
+            )
+            for num in group_nums
+        }
+
     for k in k_values:
         group_sets = []
         for num in group_nums:
-            members = [
-                eng.set_counts(eng.count_codes(c, k, cs=count_cs), 1)
-                for c in codes[num]
-            ]
-            union = eng.union(members, cs=union_cs)
-            hist = eng.histogram(union, cx=hist_cx)
+            if fused:
+                hist = occurrence_histogram(codes[num], k, cs=union_cs, cx=hist_cx)
+            else:
+                members = [
+                    eng.set_counts(eng.count_codes(c, k, cs=count_cs), 1)
+                    for c in codes[num]
+                ]
+                union = eng.union(members, cs=union_cs)
+                hist = eng.histogram(union, cx=hist_cx)
+                group_sets.append(eng.set_counts(union, 1))
             within_hists[(k, num)] = hist
             if write_hists:
                 write_hist_txt(
@@ -87,10 +108,14 @@ def run_exp1(
                     hist,
                     cx=hist_cx,
                 )
-            group_sets.append(eng.set_counts(union, 1))
 
-        across = eng.union(group_sets, cs=union_cs)
-        hist = eng.histogram(across, cx=hist_cx)
+        if fused:
+            hist = occurrence_histogram(
+                [group_concat[num] for num in group_nums], k, cs=union_cs, cx=hist_cx
+            )
+        else:
+            across = eng.union(group_sets, cs=union_cs)
+            hist = eng.histogram(across, cx=hist_cx)
         across_hists[k] = hist
         if write_hists:
             write_hist_txt(

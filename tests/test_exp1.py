@@ -75,10 +75,11 @@ def make_groups(rng, n_groups=3, genomes_per_group=3, glen=400):
     return groups
 
 
-def test_exp1_golden(rng, tmp_path):
+@pytest.mark.parametrize("fused", [True, False])
+def test_exp1_golden(rng, tmp_path, fused):
     groups = make_groups(rng)
     ks = [5, 9, 12]
-    out = run_exp1(groups, ks, str(tmp_path / "engine"))
+    out = run_exp1(groups, ks, str(tmp_path / "engine"), fused=fused)
     g5, g9 = oracle_exp1_csvs(groups, ks, str(tmp_path / "oracle"))
 
     engine5 = open(out["step_5"], "rb").read()

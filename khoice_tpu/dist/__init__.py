@@ -1,4 +1,5 @@
 from .mesh import make_mesh, split_keys_for
+from .occurrence import sharded_occurrence_histogram
 from .sharded import (
     ShardedKmerTable,
     sharded_count_codes,
@@ -19,4 +20,5 @@ __all__ = [
     "sharded_subtract",
     "sharded_set_counts",
     "sharded_histogram",
+    "sharded_occurrence_histogram",
 ]

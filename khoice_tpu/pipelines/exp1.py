@@ -56,13 +56,16 @@ def run_exp1(
     hist_cx: int = 10000,
     write_hists: bool = True,
     fused: bool = True,
+    mesh=None,
 ) -> Dict[str, str]:
     """groups: {group_num: [genome as list-of-record-seqs, ...]}.
 
     fused=True uses the single-sort genome-occurrence path
     (engine/occurrence.py) — bit-identical histograms, ~G x less sort
     volume than the composed count/union path (fused=False keeps the
-    kmc_tools-shaped table ops for cross-validation).
+    kmc_tools-shaped table ops for cross-validation). Passing a
+    jax.sharding.Mesh runs the fused path SPMD over its "kv" axis
+    (dist/occurrence.py).
 
     Returns {"step_5": csv_path, "step_9": csv_path}.
     """
@@ -78,8 +81,16 @@ def run_exp1(
     across_hists: Dict[int, List[int]] = {}
 
     if fused:
-        from ..engine.occurrence import occurrence_histogram
         import numpy as np
+
+        if mesh is not None:
+            from functools import partial as _partial
+
+            from ..dist.occurrence import sharded_occurrence_histogram
+
+            occurrence_histogram = _partial(sharded_occurrence_histogram, mesh)
+        else:
+            from ..engine.occurrence import occurrence_histogram
 
         group_concat = {
             num: np.concatenate(

@@ -69,6 +69,74 @@ def _occurrence_histogram(codes_gids, k, cs, cx, n_words, n_members):
     return hist.at[: max_occ].set(jnp.stack(bins))
 
 
+def _extract_canonical_dyn(codes, k, kmax, n_words):
+    """Canonical extraction with k as a TRACED scalar (kmax static).
+
+    Incremental predicated pushes: after the unrolled j-loop, exactly k
+    shift steps have fired, so fwd holds the k-mer, rc its reverse
+    complement (low 2k bits), with no dynamic shifts — one XLA compile
+    serves every k <= kmax of the same word width. This matters because
+    each distinct static k is a separate XLA compile (the reference's
+    30-point k grid, workflow/Snakefile:36).
+    """
+    n = codes.shape[0]
+    cp = jnp.concatenate([codes, jnp.full((kmax,), 4, codes.dtype)])
+    fwd = [jnp.zeros((n,), jnp.uint32) for _ in range(n_words)]
+    rc = [jnp.zeros((n,), jnp.uint32) for _ in range(n_words)]
+    valid = jnp.ones((n,), jnp.bool_)
+    k32 = k.astype(jnp.int32)
+    for j in range(kmax):
+        on = jnp.int32(j) < k32
+        d = cp[j : j + n].astype(jnp.uint32)
+        valid = jnp.where(on, valid & (d < 4), valid)
+        db = d & 3
+        nf = []
+        for wi in range(n_words - 1):
+            nf.append((fwd[wi] << 2) | (fwd[wi + 1] >> 30))
+        nf.append((fwd[n_words - 1] << 2) | db)
+        fwd = [jnp.where(on, a, b) for a, b in zip(nf, fwd)]
+        # rc |= comp(base_j) << 2j : bit position is static per j
+        dc = db ^ 3
+        word_idx = n_words - 1 - (2 * j) // 32
+        shift = (2 * j) % 32
+        rc[word_idx] = jnp.where(on, rc[word_idx] | (dc << shift), rc[word_idx])
+
+    from .bits import sentinel_key, words_lt, words_select
+
+    canon = words_select(words_lt(tuple(fwd), tuple(rc)), tuple(fwd), tuple(rc))
+    sent = sentinel_key(n_words, valid.shape)
+    return words_select(valid, canon, sent), valid
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _occurrence_histogram_dyn(codes_gids, k, kmax, cs, cx, n_words, n_members):
+    """Dynamic-k variant of _occurrence_histogram (same outputs)."""
+    codes, gids = codes_gids
+    keys, valid = _extract_canonical_dyn(codes, k, kmax, n_words)
+    gid_key = jnp.where(valid, gids, jnp.uint32(0xFFFFFFFF))
+    sorted_ops = jax.lax.sort(
+        list(keys) + [gid_key], num_keys=n_words + 1, is_stable=False
+    )
+    skeys = tuple(sorted_ops[:n_words])
+    sgids = sorted_ops[n_words]
+    prev_keys = tuple(jnp.roll(w, 1) for w in skeys)
+    key_new = ~words_eq(skeys, prev_keys)
+    key_new = key_new.at[0].set(True)
+    gid_new = sgids != jnp.roll(sgids, 1)
+    occ = _run_sums((key_new | gid_new).astype(jnp.uint32), key_new)
+    occ = jnp.minimum(occ, jnp.uint32(cs))
+    occ = jnp.where(words_is_sentinel(skeys), 0, occ)
+    max_occ = min(n_members, cx)
+    bins = [jnp.sum((occ == b).astype(jnp.int32)) for b in range(1, max_occ + 1)]
+    hist = jnp.zeros((cx,), jnp.int32)
+    return hist.at[: max_occ].set(jnp.stack(bins))
+
+
+def kmax_class(k: int) -> int:
+    """Word-width class ceiling: one compile per class serves all its ks."""
+    return 15 if k <= 15 else 31 if k <= 31 else 63
+
+
 def pack_members(member_codes: Sequence[np.ndarray]):
     """Concatenate member code arrays with separators and emit gid labels."""
     parts, gparts = [], []
@@ -90,13 +158,38 @@ def pack_members(member_codes: Sequence[np.ndarray]):
 
 
 def occurrence_histogram(
-    member_codes: Sequence[np.ndarray], k: int, cs: int = 5000, cx: int = 10000
+    member_codes: Sequence[np.ndarray],
+    k: int,
+    cs: int = 5000,
+    cx: int = 10000,
+    dynamic_k: bool = True,
 ) -> List[int]:
     """hist[i-1] = number of distinct canonical k-mers present in exactly i
-    members (the exp1 within/across-group histogram), in one fused pass."""
+    members (the exp1 within/across-group histogram), in one fused pass.
+
+    dynamic_k=True traces k as a runtime scalar so one compile serves every
+    k in a word-width class (k<=15 / <=31 / <=63) — a 10-24x compile-count
+    saving over the reference's 30-point grid.
+    """
     codes, gids = pack_members(member_codes)
-    w = key_words(k)
-    hist = _occurrence_histogram(
-        (jnp.asarray(codes), jnp.asarray(gids)), k, cs, cx, w, len(member_codes)
-    )
+    if dynamic_k:
+        km = kmax_class(k)
+        hist = _occurrence_histogram_dyn(
+            (jnp.asarray(codes), jnp.asarray(gids)),
+            jnp.uint32(k),
+            km,
+            cs,
+            cx,
+            key_words(km),
+            len(member_codes),
+        )
+    else:
+        hist = _occurrence_histogram(
+            (jnp.asarray(codes), jnp.asarray(gids)),
+            k,
+            cs,
+            cx,
+            key_words(k),
+            len(member_codes),
+        )
     return np.asarray(hist).tolist()

@@ -29,8 +29,6 @@ import jax.numpy as jnp
 from .bits import (
     SENTINEL,
     key_words,
-    searchsorted_words,
-    take_words,
     words_eq,
     words_is_sentinel,
 )

@@ -93,14 +93,21 @@ class KmerEngine:
     def compact(self, t: KmerTable) -> KmerTable:
         """Shrink capacity to pow2(last present slot + 1) via device slices.
 
-        Valid whenever present keys are a prefix of the slots (true after
-        count/union/dedupe). For tables with interior holes (post-subtract),
-        the last present index bound keeps this correct too.
+        Valid for any run-form table: dropping slots past the last present
+        index only removes zero-count duplicates and sentinels. Only a
+        SCALAR crosses the device boundary (the dev TPU sits behind a
+        ~10MB/s tunnel; pulling the counts array would cost seconds).
         """
-        counts = np.asarray(t.counts)
-        nz = np.nonzero(counts > 0)[0]
-        last = int(nz[-1]) + 1 if nz.size else 1
-        cap = _pow2(last)
+        key = ("lastp", t.capacity)
+        fn = self._memo.get(key)
+        if fn is None:
+            def last_present(counts):
+                idx = jnp.arange(counts.shape[0], dtype=jnp.int32)
+                return jnp.max(jnp.where(counts > 0, idx, -1))
+            fn = jax.jit(last_present)
+            self._memo[key] = fn
+        last = int(np.asarray(fn(t.counts))) + 1
+        cap = _pow2(max(last, 1))
         if cap >= t.capacity:
             return t
         return KmerTable(

@@ -137,6 +137,38 @@ def kmax_class(k: int) -> int:
     return 15 if k <= 15 else 31 if k <= 31 else 63
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _occurrence_histogram_dyn_pallas(codes_gids, k, kmax, cs, cx, n_words, n_members):
+    """Dynamic-k extraction + sort, with the post-sort occurrence scan and
+    histogram fused into the Pallas kernel (kernels/occ_scan_pallas.py)."""
+    from ..kernels.occ_scan_pallas import occ_hist_pallas
+
+    codes, gids = codes_gids
+    keys, valid = _extract_canonical_dyn(codes, k, kmax, n_words)
+    gid_key = jnp.where(valid, gids, jnp.uint32(0xFFFFFFFF))
+    sorted_ops = jax.lax.sort(
+        list(keys) + [gid_key], num_keys=n_words + 1, is_stable=False
+    )
+    skeys = tuple(sorted_ops[:n_words])
+    sgids = sorted_ops[n_words]
+    max_occ = min(n_members, cx)
+    small = occ_hist_pallas(skeys, sgids, max_occ)
+    hist = jnp.zeros((cx,), jnp.int32)
+    return hist.at[:max_occ].set(small)
+
+
+def _pallas_ok(n: int, n_members: int) -> bool:
+    from ..kernels.occ_scan_pallas import BINS_PAD, TILE
+
+    import jax as _jax
+
+    return (
+        n % TILE == 0
+        and n_members <= BINS_PAD
+        and _jax.default_backend() == "tpu"
+    )
+
+
 def pack_members(member_codes: Sequence[np.ndarray]):
     """Concatenate member code arrays with separators and emit gid labels."""
     parts, gparts = [], []
@@ -174,7 +206,12 @@ def occurrence_histogram(
     codes, gids = pack_members(member_codes)
     if dynamic_k:
         km = kmax_class(k)
-        hist = _occurrence_histogram_dyn(
+        fn = (
+            _occurrence_histogram_dyn_pallas
+            if _pallas_ok(codes.shape[0], len(member_codes))
+            else _occurrence_histogram_dyn
+        )
+        hist = fn(
             (jnp.asarray(codes), jnp.asarray(gids)),
             jnp.uint32(k),
             km,

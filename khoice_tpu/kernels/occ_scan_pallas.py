@@ -103,10 +103,12 @@ def _kernel(*refs, n_words: int, n_bins: int):
     rank = v + jnp.where(no_boundary_before, carry[n_words + 1].astype(jnp.int32), 0)
 
     # cumulative histogram: #pair-starts with rank == b  (b = 1..n_bins)
-    upd = []
+    # (one-hot accumulate — Mosaic has no scatter)
+    bin_lane = jax.lax.broadcasted_iota(jnp.int32, (1, BINS_PAD), 1)
+    upd_vec = jnp.zeros((1, BINS_PAD), jnp.int32)
     for bb in range(1, n_bins + 1):
-        upd.append(jnp.sum((pair_new & (rank == bb)).astype(jnp.int32)))
-    upd_vec = jnp.zeros((1, BINS_PAD), jnp.int32).at[0, : n_bins].set(jnp.stack(upd))
+        cnt = jnp.sum((pair_new & (rank == bb)).astype(jnp.int32))
+        upd_vec = upd_vec + jnp.where(bin_lane == bb - 1, cnt, 0)
     cum[:] = cum[:] + upd_vec
 
     # update carries from the tile's last lane

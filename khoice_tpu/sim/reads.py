@@ -159,3 +159,40 @@ def subset_reads_kmers(
             f"read set has only {total} k-mers, {num_kmers} requested"
         )
     return out
+
+
+def subset_features_half_mems(
+    features: Sequence, rng: np.random.Generator, num_included: int
+):
+    """Sample up to num_included + 10000 half-MEM features without
+    replacement (src/subset_reads.py:49-73 — the reference adds a 10000
+    buffer for sequence-spanning edge cases)."""
+    limit = num_included + 10000
+    n = min(limit, len(features))
+    idx = rng.choice(len(features), size=n, replace=False)
+    return [features[i] for i in idx]
+
+
+def subset_features_mems(
+    features: Sequence,
+    rng: np.random.Generator,
+    num_included: int,
+    total_ref_length: int,
+):
+    """Sample MEM features until the noise-adjusted bp budget
+    sum(len(seq) - log4(L)) reaches num_included + 10000
+    (src/subset_reads.py:75-114)."""
+    import math as _math
+
+    noise = _math.log(total_ref_length, 4)
+    limit = num_included + 10000
+    order = rng.permutation(len(features))
+    out, total = [], 0.0
+    for i in order:
+        if total >= limit:
+            break
+        f = features[i]
+        out.append(f)
+        seq = f.seq if hasattr(f, "seq") else f
+        total += len(seq) - noise
+    return out

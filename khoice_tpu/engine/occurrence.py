@@ -189,6 +189,47 @@ def pack_members(member_codes: Sequence[np.ndarray]):
     return codes, gids
 
 
+def occurrence_histogram_packed(
+    packed,
+    n_members: int,
+    k: int,
+    cs: int = 5000,
+    cx: int = 10000,
+    dynamic_k: bool = True,
+) -> List[int]:
+    """Like occurrence_histogram but over pre-packed (codes, gids) arrays —
+    pack/upload once per group, sweep every k over the resident arrays
+    (the host->device link may be a slow tunnel; 30 re-uploads per group
+    would dominate the sweep)."""
+    codes, gids = packed
+    if dynamic_k:
+        km = kmax_class(k)
+        fn = (
+            _occurrence_histogram_dyn_pallas
+            if _pallas_ok(codes.shape[0], n_members)
+            else _occurrence_histogram_dyn
+        )
+        hist = fn(
+            (jnp.asarray(codes), jnp.asarray(gids)),
+            jnp.uint32(k),
+            km,
+            cs,
+            cx,
+            key_words(km),
+            n_members,
+        )
+    else:
+        hist = _occurrence_histogram(
+            (jnp.asarray(codes), jnp.asarray(gids)),
+            k,
+            cs,
+            cx,
+            key_words(k),
+            n_members,
+        )
+    return np.asarray(hist).tolist()
+
+
 def occurrence_histogram(
     member_codes: Sequence[np.ndarray],
     k: int,
@@ -203,30 +244,10 @@ def occurrence_histogram(
     k in a word-width class (k<=15 / <=31 / <=63) — a 10-24x compile-count
     saving over the reference's 30-point grid.
     """
+    import jax as _jax
+
     codes, gids = pack_members(member_codes)
-    if dynamic_k:
-        km = kmax_class(k)
-        fn = (
-            _occurrence_histogram_dyn_pallas
-            if _pallas_ok(codes.shape[0], len(member_codes))
-            else _occurrence_histogram_dyn
-        )
-        hist = fn(
-            (jnp.asarray(codes), jnp.asarray(gids)),
-            jnp.uint32(k),
-            km,
-            cs,
-            cx,
-            key_words(km),
-            len(member_codes),
-        )
-    else:
-        hist = _occurrence_histogram(
-            (jnp.asarray(codes), jnp.asarray(gids)),
-            k,
-            cs,
-            cx,
-            key_words(k),
-            len(member_codes),
-        )
-    return np.asarray(hist).tolist()
+    packed = (_jax.device_put(codes), _jax.device_put(gids))
+    return occurrence_histogram_packed(
+        packed, len(member_codes), k, cs=cs, cx=cx, dynamic_k=dynamic_k
+    )

@@ -88,22 +88,59 @@ def run_exp1(
 
             from ..dist.occurrence import sharded_occurrence_histogram
 
-            occurrence_histogram = _partial(sharded_occurrence_histogram, mesh)
-        else:
-            from ..engine.occurrence import occurrence_histogram
-
-        group_concat = {
-            num: np.concatenate(
-                [np.concatenate([c, np.full(1, 4, np.uint8)]) for c in codes[num]]
+            within_hist = {
+                num: lambda k, num=num: sharded_occurrence_histogram(
+                    mesh, codes[num], k, cs=union_cs, cx=hist_cx
+                )
+                for num in group_nums
+            }
+            group_concat = [
+                np.concatenate(
+                    [np.concatenate([c, np.full(1, 4, np.uint8)]) for c in codes[num]]
+                )
+                for num in group_nums
+            ]
+            across_hist = lambda k: sharded_occurrence_histogram(
+                mesh, group_concat, k, cs=union_cs, cx=hist_cx
             )
-            for num in group_nums
-        }
+        else:
+            import jax as _jax
+
+            from ..engine.occurrence import (
+                occurrence_histogram_packed,
+                pack_members,
+            )
+
+            # pack + upload each group once; the whole k sweep reuses the
+            # device-resident arrays (the dev TPU link is a slow tunnel)
+            packed_within = {}
+            for num in group_nums:
+                c, g = pack_members(codes[num])
+                packed_within[num] = (_jax.device_put(c), _jax.device_put(g))
+            group_concat = [
+                np.concatenate(
+                    [np.concatenate([c, np.full(1, 4, np.uint8)]) for c in codes[num]]
+                )
+                for num in group_nums
+            ]
+            ac, ag = pack_members(group_concat)
+            packed_across = (_jax.device_put(ac), _jax.device_put(ag))
+
+            within_hist = {
+                num: lambda k, num=num: occurrence_histogram_packed(
+                    packed_within[num], len(codes[num]), k, cs=union_cs, cx=hist_cx
+                )
+                for num in group_nums
+            }
+            across_hist = lambda k: occurrence_histogram_packed(
+                packed_across, len(group_nums), k, cs=union_cs, cx=hist_cx
+            )
 
     for k in k_values:
         group_sets = []
         for num in group_nums:
             if fused:
-                hist = occurrence_histogram(codes[num], k, cs=union_cs, cx=hist_cx)
+                hist = within_hist[num](k)
             else:
                 members = [
                     eng.set_counts(eng.count_codes(c, k, cs=count_cs), 1)
@@ -121,9 +158,7 @@ def run_exp1(
                 )
 
         if fused:
-            hist = occurrence_histogram(
-                [group_concat[num] for num in group_nums], k, cs=union_cs, cx=hist_cx
-            )
+            hist = across_hist(k)
         else:
             across = eng.union(group_sets, cs=union_cs)
             hist = eng.histogram(across, cx=hist_cx)

@@ -230,6 +230,22 @@ def occurrence_histogram_packed(
     return np.asarray(hist).tolist()
 
 
+def occurrence_table(
+    member_codes: Sequence[np.ndarray], k: int, cs: int = 5000
+):
+    """KmerTable whose counts = number of members containing each key —
+    the `set_counts 1` + n-way `kmc_tools complex` union in ONE sort
+    (reference exp_type_1.smk:165-182, exp_type_2.smk:440-454 role)."""
+    from .table import KmerTable
+
+    codes, gids = pack_members(member_codes)
+    w = key_words(k)
+    keys, occ = _occurrence_counts(
+        (jnp.asarray(codes), jnp.asarray(gids)), k, cs, w
+    )
+    return KmerTable(keys=keys, counts=occ, k=k)
+
+
 def occurrence_histogram(
     member_codes: Sequence[np.ndarray],
     k: int,

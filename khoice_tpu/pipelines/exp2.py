@@ -68,14 +68,18 @@ def run_exp2(
             )
             for num in nums
         }
+        # counted union (count = #genomes containing) in one fused sort per
+        # dataset (engine/occurrence.py replaces per-genome count + union)
+        from ..engine.occurrence import occurrence_table
+
         rest_unions = {}
         group_sets = {}
         for num in nums:
-            members = [
-                eng.set_counts(eng.count_codes(encode_records(g), k, cs=count_cs), 1)
-                for g in rest_of_set[num]
-            ]
-            rest_unions[num] = eng.union(members, cs=union_cs)
+            rest_unions[num] = eng.compact(
+                occurrence_table(
+                    [encode_records(g) for g in rest_of_set[num]], k, cs=union_cs
+                )
+            )
             group_sets[num] = eng.set_counts(rest_unions[num], 1)
 
         for num in nums:

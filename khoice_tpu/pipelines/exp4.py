@@ -44,14 +44,18 @@ def build_group_sets(
     union_cs: int = 5000,
     count_cs: int = 255,
 ):
-    """Per-dataset rest-of-set union -> set (exp_type_4.smk:180-213 role)."""
+    """Per-dataset rest-of-set union -> set (exp_type_4.smk:180-213 role).
+
+    A group *set* (set_counts 1 of the member union) equals the k-mer set
+    of the concatenated members, so one count per dataset replaces the
+    reference's per-genome count + n-way union chain.
+    """
     sets = {}
     for num in sorted(rest_of_set):
-        members = [
-            eng.set_counts(eng.count_codes(encode_records(seqs), k, cs=count_cs), 1)
-            for seqs in rest_of_set[num]
-        ]
-        sets[num] = eng.set_counts(eng.union(members, cs=union_cs), 1)
+        all_seqs = [s for seqs in rest_of_set[num] for s in seqs]
+        sets[num] = eng.set_counts(
+            eng.count_codes(encode_records(all_seqs), k, cs=count_cs), 1
+        )
     return sets
 
 

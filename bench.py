@@ -44,7 +44,13 @@ def main():
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
 
     from khoice_tpu.engine.bits import key_words
-    from khoice_tpu.engine.occurrence import _occurrence_histogram, pack_members
+    from khoice_tpu.engine.occurrence import (
+        _occurrence_histogram_dyn,
+        _occurrence_histogram_dyn_pallas,
+        _pallas_ok,
+        kmax_class,
+        pack_members,
+    )
 
     rng = np.random.default_rng(0)
     members = [
@@ -53,14 +59,21 @@ def main():
     ]
     codes, gids = pack_members(members)
     n_kmers = N_GENOMES * GENOME_LEN
-    w = key_words(K)
+    km = kmax_class(K)
+    w = key_words(km)
     cj, gj = jnp.asarray(codes), jnp.asarray(gids)
+    fn = (
+        _occurrence_histogram_dyn_pallas
+        if _pallas_ok(codes.shape[0], N_GENOMES)
+        else _occurrence_histogram_dyn
+    )
 
     @jax.jit
     def rep(c, g):
         def body(i, acc):
-            h = _occurrence_histogram(
-                ((c + i.astype(jnp.uint8)) % 5, g), K, 5000, 255, w, N_GENOMES
+            h = fn(
+                ((c + i.astype(jnp.uint8)) % 5, g),
+                jnp.uint32(K), km, 5000, 255, w, N_GENOMES,
             )
             return acc + h[0]
         return jax.lax.fori_loop(0, ITERS, body, jnp.int32(0))

@@ -24,9 +24,17 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..engine.bits import SENTINEL, key_words, searchsorted_words, words_eq, words_is_sentinel
+from ..engine.bits import (
+    SENTINEL,
+    key_words,
+    searchsorted_words,
+    sentinel_key,
+    words_eq,
+    words_is_sentinel,
+    words_select,
+)
 from ..engine.extract import extract_canonical
-from ..engine.occurrence import pack_members
+from ..engine.occurrence import GID_BITS, _packed_occ, pack_members
 from ..engine.ops import _run_sums
 from .mesh import AXIS, split_keys_for
 
@@ -102,6 +110,107 @@ def _local_occurrence(
     return hist, overflow_any
 
 
+def _occ_words_static(k: int) -> int:
+    """uint32 words for (key << GID_BITS | gid) at a STATIC k (exact, not
+    class-padded like engine.occurrence.occ_words_packed)."""
+    return (2 * k + GID_BITS + 31) // 32
+
+
+def _pack_gid_static(keys: tuple, valid, gids, k: int) -> tuple:
+    """(key << GID_BITS) | gid re-laid over _occ_words_static(k) words.
+
+    keys arrive right-aligned in key_words(k) words (which jumps 2 -> 4 at
+    k=32); the packed width can be smaller (e.g. k=35: 4 key words but 3
+    packed words) or larger (k=31: 2 -> 3), so align first, then shift.
+    """
+    w = len(keys)
+    ow = _occ_words_static(k)
+    if ow > w:
+        keys = tuple(jnp.zeros_like(keys[0]) for _ in range(ow - w)) + keys
+        w = ow
+    gb = GID_BITS
+    shifted = []
+    for i in range(w - 1):
+        shifted.append((keys[i] << gb) | (keys[i + 1] >> (32 - gb)))
+    shifted.append((keys[w - 1] << gb) | gids)
+    packed = tuple(shifted[w - ow:])  # leading words are provably zero
+    sent = sentinel_key(ow, valid.shape)
+    return words_select(valid, packed, sent)
+
+
+def split_keys_packed(k: int, n_shards: int) -> np.ndarray:
+    """Packed-form split points: (split_key << GID_BITS) over the packed
+    word count, so range partitioning by packed value equals partitioning
+    by key (gid bits below the shift never affect the range)."""
+    from .mesh import _fraction_to_key  # reuse the canonical-CDF quantiles
+
+    ow = _occ_words_static(k)
+    out = np.zeros((max(n_shards - 1, 0), ow), np.uint32)
+    for i in range(1, n_shards):
+        frac = 1.0 - math.sqrt(1.0 - i / n_shards)
+        kw = _fraction_to_key(frac, k)
+        v = 0
+        for word in kw:
+            v = (v << 32) | int(word)
+        v <<= GID_BITS
+        for wi in range(ow):
+            out[i - 1, wi] = (v >> (32 * (ow - 1 - wi))) & 0xFFFFFFFF
+    return out
+
+
+def _local_occurrence_packed(
+    slab_codes, slab_gids, k, cs, cx, n_members, n_shards, splits, bucket_cap
+):
+    """Gid-packed variant of _local_occurrence: the (key, gid) pair rides in
+    _occ_words_static(k) words through both sorts AND the all_to_all, cutting
+    sort operands and ICI exchange volume by 1-2 words/element for the whole
+    reference k grid (engine/occurrence.py GID_BITS rationale)."""
+    ow = _occ_words_static(k)
+    codes = slab_codes[0]
+    gids = slab_gids[0]
+    keys, valid = extract_canonical(codes, k)
+    packed = _pack_gid_static(keys, valid, gids, k)
+    sp = tuple(jax.lax.sort(list(packed), num_keys=ow, is_stable=False))
+
+    # local (key, gid) dedupe: mark duplicate pairs absent to cut exchange
+    prev = tuple(jnp.roll(w, 1) for w in sp)
+    pair_new = (~words_eq(sp, prev)).at[0].set(True)
+
+    bnds = [jnp.zeros((), jnp.int32)]
+    for i in range(n_shards - 1):
+        q = tuple(jnp.full((1,), splits[i, wi], jnp.uint32) for wi in range(ow))
+        bnds.append(searchsorted_words(sp, q)[0])
+    sent_q = tuple(jnp.full((1,), SENTINEL, jnp.uint32) for _ in range(ow))
+    bnds.append(searchsorted_words(sp, sent_q)[0])
+    bounds = jnp.stack(bnds)
+
+    sizes = bounds[1:] - bounds[:-1]
+    overflow = jnp.max(sizes) > bucket_cap
+
+    j = jnp.arange(bucket_cap, dtype=jnp.int32)[None, :]
+    idx = bounds[:-1, None] + j
+    in_range = idx < bounds[1:, None]
+    gidx = jnp.minimum(idx, sp[0].shape[0] - 1)
+    keep = in_range & jnp.take(pair_new, gidx, mode="clip")
+    send = tuple(
+        jnp.where(keep, jnp.take(w, gidx, mode="clip"), SENTINEL) for w in sp
+    )
+    recv = tuple(
+        jax.lax.all_to_all(w, AXIS, split_axis=0, concat_axis=0, tiled=True)
+        for w in send
+    )
+    flat = tuple(w.reshape(-1) for w in recv)
+    sm = tuple(jax.lax.sort(list(flat), num_keys=ow, is_stable=False))
+    occ = _packed_occ(sm, cs, ow)
+
+    max_occ = min(n_members, cx)
+    bins = [jnp.sum((occ == b).astype(jnp.int32)) for b in range(1, max_occ + 1)]
+    hist = jnp.zeros((cx,), jnp.int32).at[:max_occ].set(jnp.stack(bins))
+    hist = jax.lax.psum(hist, AXIS)
+    overflow_any = jax.lax.pmax(overflow.astype(jnp.int32), AXIS)
+    return hist, overflow_any
+
+
 def _make_slab_pair(codes: np.ndarray, gids: np.ndarray, n_shards: int, k: int):
     n = codes.shape[0]
     chunk = max(1, math.ceil(n / n_shards))
@@ -130,26 +239,38 @@ def sharded_occurrence_histogram(
     d = mesh.devices.size
     codes, gids = pack_members(member_codes)
     slab_codes, slab_gids = _make_slab_pair(codes, gids, d, k)
-    splits = split_keys_for(k, d)
     n = codes.shape[0]
     if bucket_cap is None:
         bucket_cap = max(64, int(slack * math.ceil(n / d / max(d, 1))))
 
-    w = key_words(k)
+    packed_gid = len(member_codes) <= (1 << GID_BITS)
     while True:
+        if packed_gid:
+            local = partial(
+                _local_occurrence_packed,
+                k=k,
+                cs=cs,
+                cx=cx,
+                n_members=len(member_codes),
+                n_shards=d,
+                splits=split_keys_packed(k, d),
+                bucket_cap=bucket_cap,
+            )
+        else:
+            local = partial(
+                _local_occurrence,
+                k=k,
+                cs=cs,
+                cx=cx,
+                n_words=key_words(k),
+                n_members=len(member_codes),
+                n_shards=d,
+                splits=split_keys_for(k, d),
+                bucket_cap=bucket_cap,
+            )
         fn = jax.jit(
             jax.shard_map(
-                partial(
-                    _local_occurrence,
-                    k=k,
-                    cs=cs,
-                    cx=cx,
-                    n_words=w,
-                    n_members=len(member_codes),
-                    n_shards=d,
-                    splits=splits,
-                    bucket_cap=bucket_cap,
-                ),
+                local,
                 mesh=mesh,
                 in_specs=(P(AXIS, None), P(AXIS, None)),
                 out_specs=(P(), P()),

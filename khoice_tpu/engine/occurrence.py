@@ -25,7 +25,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bits import key_words, words_eq, words_is_sentinel
+from .bits import (
+    key_words,
+    sentinel_key,
+    words_eq,
+    words_is_sentinel,
+    words_select,
+)
 from .extract import extract_canonical
 from .ops import _run_sums
 
@@ -137,6 +143,100 @@ def kmax_class(k: int) -> int:
     return 15 if k <= 15 else 31 if k <= 31 else 63
 
 
+# --- gid-packed sort: fold the genome id into the key's low bits ------------
+#
+# The fused occurrence sort orders (canonical key, gid) pairs. Storing the
+# gid as a separate sort word costs a full extra 32-bit operand per element.
+# Since groups are small (reference datasets are ~10 genomes; we support up
+# to 2^GID_BITS members), the pair fits in fewer words when the gid rides in
+# the low GID_BITS of the shifted key: sort volume drops 3->2 words for
+# 13<=k<=28, 2->1 for k<=12, and 5->3 for 29<=k<=44 (covering the whole
+# reference grid k=7..30,34..49 except 46/49 at 4 words,
+# workflow/Snakefile:36). Ordering by packed value == ordering by (key, gid),
+# so the occurrence scan is unchanged; the packed value of a valid window
+# can never equal the all-ones SENTINEL because a canonical key is
+# min(fwd, rc) and the all-T k-mer's rc is all-A (= 0), so a canonical key
+# is never all-ones.
+
+GID_BITS = 8
+
+
+def kmax_class_packed(k: int) -> int:
+    """Word-width class ceiling for the gid-packed sort."""
+    if k <= 12:
+        return 12
+    if k <= 28:
+        return 28
+    if k <= 44:
+        return 44
+    if k <= 60:
+        return 60
+    raise ValueError(f"k={k} not supported by the packed path (max 60)")
+
+
+def occ_words_packed(kmax: int) -> int:
+    """uint32 words holding (2*kmax key bits + GID_BITS gid bits)."""
+    return (2 * kmax + GID_BITS + 31) // 32
+
+
+def _pack_gid_words(keys: tuple, valid, gids, n_words: int) -> tuple:
+    """(key << GID_BITS) | gid across the word tuple; SENTINEL if invalid."""
+    gb = GID_BITS
+    packed = []
+    for i in range(n_words - 1):
+        packed.append((keys[i] << gb) | (keys[i + 1] >> (32 - gb)))
+    packed.append((keys[n_words - 1] << gb) | gids)
+    sent = sentinel_key(n_words, valid.shape)
+    return words_select(valid, tuple(packed), sent)
+
+
+def _packed_occ(sp: tuple, cs, n_words: int):
+    """Occurrence counts (distinct gids per key) from sorted packed words."""
+    prev = tuple(jnp.roll(w, 1) for w in sp)
+    pair_eq = words_eq(sp, prev)
+    key_eq = (sp[-1] >> GID_BITS) == (prev[-1] >> GID_BITS)
+    for i in range(n_words - 1):
+        key_eq = key_eq & (sp[i] == prev[i])
+    key_new = (~key_eq).at[0].set(True)
+    pair_new = (~pair_eq).at[0].set(True)
+    occ = _run_sums(pair_new.astype(jnp.uint32), key_new)
+    occ = jnp.minimum(occ, jnp.uint32(cs))
+    return jnp.where(words_is_sentinel(sp), 0, occ)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _occurrence_histogram_dyn_packed(
+    codes_gids, k, kmax, cs, cx, n_words, n_members
+):
+    """Dynamic-k occurrence histogram over the gid-packed sort."""
+    codes, gids = codes_gids
+    keys, valid = _extract_canonical_dyn(codes, k, kmax, n_words)
+    packed = _pack_gid_words(keys, valid, gids, n_words)
+    sp = tuple(jax.lax.sort(list(packed), num_keys=n_words, is_stable=False))
+    occ = _packed_occ(sp, cs, n_words)
+    max_occ = min(n_members, cx)
+    bins = [jnp.sum((occ == b).astype(jnp.int32)) for b in range(1, max_occ + 1)]
+    hist = jnp.zeros((cx,), jnp.int32)
+    return hist.at[:max_occ].set(jnp.stack(bins))
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _occurrence_histogram_dyn_packed_pallas(
+    codes_gids, k, kmax, cs, cx, n_words, n_members
+):
+    """Packed variant with the post-sort scan fused in the Pallas kernel."""
+    from ..kernels.occ_scan_pallas import occ_hist_packed_pallas
+
+    codes, gids = codes_gids
+    keys, valid = _extract_canonical_dyn(codes, k, kmax, n_words)
+    packed = _pack_gid_words(keys, valid, gids, n_words)
+    sp = tuple(jax.lax.sort(list(packed), num_keys=n_words, is_stable=False))
+    max_occ = min(n_members, cx)
+    small = occ_hist_packed_pallas(sp, max_occ, GID_BITS)
+    hist = jnp.zeros((cx,), jnp.int32)
+    return hist.at[:max_occ].set(small)
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
 def _occurrence_histogram_dyn_pallas(codes_gids, k, kmax, cs, cx, n_words, n_members):
     """Dynamic-k extraction + sort, with the post-sort occurrence scan and
@@ -202,7 +302,24 @@ def occurrence_histogram_packed(
     (the host->device link may be a slow tunnel; 30 re-uploads per group
     would dominate the sweep)."""
     codes, gids = packed
-    if dynamic_k:
+    if dynamic_k and n_members <= (1 << GID_BITS) and k <= 60:
+        # gid-packed sort: fewest sort words for the (key, gid) pair
+        km = kmax_class_packed(k)
+        fn = (
+            _occurrence_histogram_dyn_packed_pallas
+            if _pallas_ok(codes.shape[0], n_members)
+            else _occurrence_histogram_dyn_packed
+        )
+        hist = fn(
+            (jnp.asarray(codes), jnp.asarray(gids)),
+            jnp.uint32(k),
+            km,
+            cs,
+            cx,
+            occ_words_packed(km),
+            n_members,
+        )
+    elif dynamic_k:
         km = kmax_class(k)
         fn = (
             _occurrence_histogram_dyn_pallas

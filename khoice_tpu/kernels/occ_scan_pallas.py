@@ -127,6 +127,113 @@ def _kernel(*refs, n_words: int, n_bins: int):
         hist_out[:] = c - nxt
 
 
+def _kernel_packed(*refs, n_words: int, n_bins: int, gid_bits: int):
+    # refs: packed words [w], hist_out, carry_smem, cum_vmem
+    # Packed layout: value = (canonical key << gid_bits) | gid, so ordering
+    # by packed value == ordering by (key, gid); key identity = all words
+    # equal with the LAST word compared above its gid_bits.
+    ins = refs[:n_words]
+    hist_out = refs[n_words]
+    carry = refs[n_words + 1]   # SMEM [n_words + 1]: prev packed words, rank
+    cum = refs[n_words + 2]     # VMEM [1, BINS_PAD]
+    i = pl.program_id(0)
+    n_prog = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        for wi in range(n_words):
+            carry[wi] = jnp.uint32(0xFFFFFFFF)
+        carry[n_words] = jnp.uint32(0)
+        cum[:] = jnp.zeros((1, BINS_PAD), jnp.int32)
+
+    words = [ins[wi][:] for wi in range(n_words)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, words[0].shape, 1)
+    first = lane == 0
+    prev = [
+        jnp.where(first, jnp.full_like(words[wi], carry[wi]), _roll_right(words[wi], 1))
+        for wi in range(n_words)
+    ]
+
+    pair_eq = jnp.ones_like(words[0], dtype=jnp.bool_)
+    for wi in range(n_words):
+        pair_eq = pair_eq & (words[wi] == prev[wi])
+    key_eq = (words[n_words - 1] >> gid_bits) == (prev[n_words - 1] >> gid_bits)
+    for wi in range(n_words - 1):
+        key_eq = key_eq & (words[wi] == prev[wi])
+    key_new = ~key_eq
+    pair_new = ~pair_eq
+
+    sent = jnp.ones_like(words[0], dtype=jnp.bool_)
+    for wi in range(n_words):
+        sent = sent & (words[wi] == jnp.uint32(0xFFFFFFFF))
+    pair_new = pair_new & ~sent
+
+    v = pair_new.astype(jnp.int32)
+    b = key_new
+    s = 1
+    while s < TILE:
+        v_sh = _roll_right(v, s)
+        b_sh = _roll_right(b.astype(jnp.int32), s) > 0
+        v = v + jnp.where(b, 0, v_sh)
+        b = b | b_sh
+        s *= 2
+    no_boundary_before = ~b
+    rank = v + jnp.where(no_boundary_before, carry[n_words].astype(jnp.int32), 0)
+
+    bin_lane = jax.lax.broadcasted_iota(jnp.int32, (1, BINS_PAD), 1)
+    upd_vec = jnp.zeros((1, BINS_PAD), jnp.int32)
+    for bb in range(1, n_bins + 1):
+        cnt = jnp.sum((pair_new & (rank == bb)).astype(jnp.int32))
+        upd_vec = upd_vec + jnp.where(bin_lane == bb - 1, cnt, 0)
+    cum[:] = cum[:] + upd_vec
+
+    last = TILE - 1
+    for wi in range(n_words):
+        carry[wi] = words[wi][0, last]
+    carry[n_words] = rank[0, last].astype(jnp.uint32)
+
+    @pl.when(i == n_prog - 1)
+    def _():
+        c = cum[:]
+        nxt = jnp.concatenate(
+            [c[:, 1:], jnp.zeros((1, 1), jnp.int32)], axis=1
+        )
+        hist_out[:] = c - nxt
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def occ_hist_packed_pallas(
+    packed: tuple, n_bins: int, gid_bits: int, interpret: bool = False
+):
+    """hist[b-1] = #distinct keys with exactly b distinct gids, from sorted
+    gid-packed words (value = key << gid_bits | gid, SENTINEL padding,
+    length a multiple of TILE)."""
+    w = len(packed)
+    n = packed[0].shape[0]
+    assert n % TILE == 0, f"length {n} not a multiple of {TILE}"
+    assert n_bins <= BINS_PAD
+    grid = n // TILE
+
+    ins = [p.reshape(1, n) for p in packed]
+    in_specs = [
+        pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+        for _ in range(w)
+    ]
+    out = pl.pallas_call(
+        functools.partial(_kernel_packed, n_words=w, n_bins=n_bins, gid_bits=gid_bits),
+        grid=(grid,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, BINS_PAD), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, BINS_PAD), jnp.int32),
+        scratch_shapes=[
+            pltpu.SMEM((w + 1,), jnp.uint32),
+            pltpu.VMEM((1, BINS_PAD), jnp.int32),
+        ],
+        interpret=interpret,
+    )(*ins)
+    return out[0, :n_bins]
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def occ_hist_pallas(keys: tuple, gids: jnp.ndarray, n_bins: int, interpret: bool = False):
     """hist[b-1] = #distinct keys with exactly b distinct gids, b=1..n_bins.

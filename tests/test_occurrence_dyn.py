@@ -30,12 +30,26 @@ def test_dynamic_k_matches_static_and_oracle(rng, k):
 
 
 def test_dynamic_k_shares_one_compile(rng):
-    """All k of one width class hit the same jit cache entry."""
-    from khoice_tpu.engine.occurrence import _occurrence_histogram_dyn
+    """All k of one width class hit the same jit cache entry (unpacked
+    fallback path; the packed path's sharing is pinned in
+    test_occurrence_packed.py)."""
+    import jax.numpy as jnp
+
+    from khoice_tpu.engine.bits import key_words
+    from khoice_tpu.engine.occurrence import (
+        _occurrence_histogram_dyn,
+        kmax_class,
+        pack_members,
+    )
 
     members = [random_dna(rng, 400) for _ in range(2)]
     codes = [encode_records([m], pad_to=512) for m in members]
+    packed = pack_members([__import__("numpy").asarray(c) for c in codes])
+    cg = (jnp.asarray(packed[0]), jnp.asarray(packed[1]))
     base_misses = _occurrence_histogram_dyn._cache_size()
     for k in (7, 9, 11, 13, 15):
-        occurrence_histogram(codes, k, cs=5000, cx=16, dynamic_k=True)
+        km = kmax_class(k)
+        _occurrence_histogram_dyn(
+            cg, jnp.uint32(k), km, 5000, 16, key_words(km), 2
+        )
     assert _occurrence_histogram_dyn._cache_size() == base_misses + 1

@@ -40,9 +40,13 @@ def _ensure_exp0(cfg: KhoiceConfig, db) -> dict:
     """Run exp0 for the current trial unless its outputs already exist."""
     from .pipelines.exp0 import run_exp0, READ_TYPES
 
-    troot = _trial_root(cfg)
-    marker = os.path.join(troot, "exp0_pivot_genomes")
-    if os.path.isdir(marker):
+    # key resume on exp0's LAST output (the trial summary): a run that died
+    # mid-exp0 leaves earlier directories behind, and loading from those
+    # partial outputs fails on missing read files
+    marker = os.path.join(
+        cfg.work_root, "trial_summaries", f"trial_{cfg.curr_trial}_summary.txt"
+    )
+    if os.path.isfile(marker):
         return _load_exp0(cfg, db)
     return run_exp0(db, cfg, cfg.curr_trial, cfg.work_root)
 

@@ -28,13 +28,17 @@ from ..engine.bits import (
     SENTINEL,
     key_words,
     searchsorted_words,
-    sentinel_key,
     words_eq,
     words_is_sentinel,
-    words_select,
 )
 from ..engine.extract import extract_canonical
-from ..engine.occurrence import GID_BITS, _packed_occ, pack_members
+from ..engine.occurrence import (
+    GID_BITS,
+    _packed_occ,
+    occ_words_static,
+    pack_gid_static,
+    pack_members,
+)
 from ..engine.ops import _run_sums
 from .mesh import AXIS, split_keys_for
 
@@ -110,41 +114,13 @@ def _local_occurrence(
     return hist, overflow_any
 
 
-def _occ_words_static(k: int) -> int:
-    """uint32 words for (key << GID_BITS | gid) at a STATIC k (exact, not
-    class-padded like engine.occurrence.occ_words_packed)."""
-    return (2 * k + GID_BITS + 31) // 32
-
-
-def _pack_gid_static(keys: tuple, valid, gids, k: int) -> tuple:
-    """(key << GID_BITS) | gid re-laid over _occ_words_static(k) words.
-
-    keys arrive right-aligned in key_words(k) words (which jumps 2 -> 4 at
-    k=32); the packed width can be smaller (e.g. k=35: 4 key words but 3
-    packed words) or larger (k=31: 2 -> 3), so align first, then shift.
-    """
-    w = len(keys)
-    ow = _occ_words_static(k)
-    if ow > w:
-        keys = tuple(jnp.zeros_like(keys[0]) for _ in range(ow - w)) + keys
-        w = ow
-    gb = GID_BITS
-    shifted = []
-    for i in range(w - 1):
-        shifted.append((keys[i] << gb) | (keys[i + 1] >> (32 - gb)))
-    shifted.append((keys[w - 1] << gb) | gids)
-    packed = tuple(shifted[w - ow:])  # leading words are provably zero
-    sent = sentinel_key(ow, valid.shape)
-    return words_select(valid, packed, sent)
-
-
 def split_keys_packed(k: int, n_shards: int) -> np.ndarray:
     """Packed-form split points: (split_key << GID_BITS) over the packed
     word count, so range partitioning by packed value equals partitioning
     by key (gid bits below the shift never affect the range)."""
     from .mesh import _fraction_to_key  # reuse the canonical-CDF quantiles
 
-    ow = _occ_words_static(k)
+    ow = occ_words_static(k)
     out = np.zeros((max(n_shards - 1, 0), ow), np.uint32)
     for i in range(1, n_shards):
         frac = 1.0 - math.sqrt(1.0 - i / n_shards)
@@ -162,14 +138,14 @@ def _local_occurrence_packed(
     slab_codes, slab_gids, k, cs, cx, n_members, n_shards, splits, bucket_cap
 ):
     """Gid-packed variant of _local_occurrence: the (key, gid) pair rides in
-    _occ_words_static(k) words through both sorts AND the all_to_all, cutting
+    occ_words_static(k) words through both sorts AND the all_to_all, cutting
     sort operands and ICI exchange volume by 1-2 words/element for the whole
     reference k grid (engine/occurrence.py GID_BITS rationale)."""
-    ow = _occ_words_static(k)
+    ow = occ_words_static(k)
     codes = slab_codes[0]
     gids = slab_gids[0]
     keys, valid = extract_canonical(codes, k)
-    packed = _pack_gid_static(keys, valid, gids, k)
+    packed = pack_gid_static(keys, valid, gids, k)
     sp = tuple(jax.lax.sort(list(packed), num_keys=ow, is_stable=False))
 
     # local (key, gid) dedupe: mark duplicate pairs absent to cut exchange

@@ -190,6 +190,56 @@ def _pack_gid_words(keys: tuple, valid, gids, n_words: int) -> tuple:
     return words_select(valid, tuple(packed), sent)
 
 
+def occ_words_static(k: int) -> int:
+    """uint32 words for (key << GID_BITS | gid) at a STATIC k (exact, not
+    class-padded like occ_words_packed)."""
+    return (2 * k + GID_BITS + 31) // 32
+
+
+def pack_gid_static(keys: tuple, valid, gids, k: int) -> tuple:
+    """(key << GID_BITS) | gid re-laid over occ_words_static(k) words.
+
+    keys arrive right-aligned in key_words(k) words (which jumps 2 -> 4 at
+    k=32); the packed width can be smaller (e.g. k=35: 4 key words but 3
+    packed words) or larger (k=31: 2 -> 3), so align first, then shift.
+    """
+    w = len(keys)
+    ow = occ_words_static(k)
+    if ow > w:
+        keys = tuple(jnp.zeros_like(keys[0]) for _ in range(ow - w)) + keys
+        w = ow
+    gb = GID_BITS
+    shifted = []
+    for i in range(w - 1):
+        shifted.append((keys[i] << gb) | (keys[i + 1] >> (32 - gb)))
+    shifted.append((keys[w - 1] << gb) | gids)
+    packed = tuple(shifted[w - ow:])  # leading words are provably zero
+    sent = sentinel_key(ow, valid.shape)
+    return words_select(valid, packed, sent)
+
+
+def unpack_keys_static(sp: tuple, k: int) -> tuple:
+    """Recover key_words(k)-layout keys from sorted packed words.
+
+    key = packed >> GID_BITS; positions whose packed value is the SENTINEL
+    (invalid windows / padding) are restored to the all-ones sentinel so
+    the KmerTable invariant (ascending keys, sentinels last) holds.
+    """
+    ow = len(sp)
+    wk = key_words(k)
+    gb = GID_BITS
+    shifted = []
+    for i in range(ow):
+        hi = (sp[i - 1] << (32 - gb)) if i > 0 else jnp.zeros_like(sp[0])
+        shifted.append(hi | (sp[i] >> gb))
+    if wk >= ow:
+        keys = tuple(jnp.zeros_like(sp[0]) for _ in range(wk - ow)) + tuple(shifted)
+    else:
+        keys = tuple(shifted[ow - wk:])  # leading words are provably zero
+    sent_mask = words_is_sentinel(sp)
+    return words_select(sent_mask, sentinel_key(wk, sent_mask.shape), keys)
+
+
 def _packed_occ(sp: tuple, cs, n_words: int):
     """Occurrence counts (distinct gids per key) from sorted packed words."""
     prev = tuple(jnp.roll(w, 1) for w in sp)
@@ -347,6 +397,20 @@ def occurrence_histogram_packed(
     return np.asarray(hist).tolist()
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _occurrence_counts_packed(codes_gids, k, cs):
+    """(keys in key_words(k) layout, occ counts in run form) via the
+    gid-packed sort — fewer sort operands than _occurrence_counts for
+    every k (see GID_BITS rationale above), keys recovered by unshifting."""
+    codes, gids = codes_gids
+    keys, valid = extract_canonical(codes, k)
+    packed = pack_gid_static(keys, valid, gids, k)
+    ow = occ_words_static(k)
+    sp = tuple(jax.lax.sort(list(packed), num_keys=ow, is_stable=False))
+    occ = _packed_occ(sp, cs, ow)
+    return unpack_keys_static(sp, k), occ
+
+
 def occurrence_table(
     member_codes: Sequence[np.ndarray], k: int, cs: int = 5000
 ):
@@ -356,10 +420,11 @@ def occurrence_table(
     from .table import KmerTable
 
     codes, gids = pack_members(member_codes)
-    w = key_words(k)
-    keys, occ = _occurrence_counts(
-        (jnp.asarray(codes), jnp.asarray(gids)), k, cs, w
-    )
+    cg = (jnp.asarray(codes), jnp.asarray(gids))
+    if len(member_codes) <= (1 << GID_BITS) and k <= 60:
+        keys, occ = _occurrence_counts_packed(cg, k, cs)
+    else:
+        keys, occ = _occurrence_counts(cg, k, cs, key_words(k))
     return KmerTable(keys=keys, counts=occ, k=k)
 
 

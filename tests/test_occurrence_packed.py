@@ -95,6 +95,35 @@ def test_many_members_fall_back_unpacked(rng):
     assert got == oracle.histogram(od, cx=320)
 
 
+@pytest.mark.parametrize("k", [9, 13, 27, 30, 31, 35, 47])
+def test_occurrence_table_packed_matches_composed_ops(rng, k):
+    """Packed-sort occurrence_table == set_counts(1) + union_many, including
+    key recovery (unpack_keys_static) preserving the KmerTable invariant."""
+    from khoice_tpu.engine import ops
+    from khoice_tpu.engine.occurrence import occurrence_table
+
+    members = make_members(rng, n_members=3, length=300)
+    codes = [np.asarray(encode_records([m], pad_to=512)) for m in members]
+
+    t = occurrence_table(codes, k, cs=5000)
+    composed = ops.union_many(
+        [ops.set_counts(ops.count_codes(jnp.asarray(c), k), 1) for c in codes],
+        cs=5000,
+    )
+    # same (key, count) multiset of present entries and same histogram
+    got = t.dump()
+    want = composed.dump()
+    assert got == want
+    assert np.asarray(ops.histogram(t, cx=8)).tolist() == \
+        np.asarray(ops.histogram(composed, cx=8)).tolist()
+    # invariant: sorted ascending with sentinels last
+    kw = np.stack([np.asarray(w, dtype=np.uint64) for w in t.keys])
+    flat = kw[0].astype(object)
+    for wi in range(1, kw.shape[0]):
+        flat = flat * (1 << 32) + kw[wi].astype(object)
+    assert all(flat[i] <= flat[i + 1] for i in range(len(flat) - 1))
+
+
 def _sorted_packed(members, k):
     codes, gids = pack_members([np.asarray(encode_records([m])) for m in members])
     km = kmax_class_packed(k)

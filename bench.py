@@ -3,15 +3,17 @@
 
 Sweeps the reference's full 30-point k grid (k=7..30 step 1 and 34..49
 step 3, workflow/Snakefile:36) running the fused exp1 inner operation per
-k — canonical extraction, the gid-packed (key, genome_id) sort, genome-
-occurrence reduction and occurrence histogram over an 8-genome group of
-16.8 Mbp — i.e. the work of the reference's `kmc` count per genome +
-`kmc_tools complex` union + `histogram` chain per (k, group)
+k — canonical counting, genome-occurrence reduction and occurrence
+histogram over an 8-genome group of 16.8 Mbp — i.e. the work of the
+reference's `kmc` count per genome + `kmc_tools complex` union +
+`histogram` chain per (k, group)
 (workflow/rules/exp_type_1.smk:156-191), on one chip, steady-state.
 
-Methodology: ks are grouped by packed word-width class (one XLA compile
-per class); each class's ks are swept INSIDE one jit (fori_loop over a
-traced k array) and only a scalar is fetched, so the number reflects
+Methodology: the shared-sort k-sweep (engine/ksweep.py) computes every k
+of a key-word class from ONE doubled-text device sort plus a multi-k
+Pallas scan — one compile and one sort per class instead of per k; classes
+too small to share fall back to the per-k fused path. Each class is one
+device call returning only small histograms, so the number reflects
 device time, not the axon tunnel's ~20ms dispatch/fetch latency. Rate =
 total k-mers across the whole grid / best total sweep time.
 
@@ -49,14 +51,8 @@ def main():
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
 
-    from khoice_tpu.engine.occurrence import (
-        _occurrence_histogram_dyn_packed,
-        _occurrence_histogram_dyn_packed_pallas,
-        _pallas_ok,
-        kmax_class_packed,
-        occ_words_packed,
-        pack_members,
-    )
+    from khoice_tpu.engine.ksweep import occurrence_histograms_sweep_packed
+    from khoice_tpu.engine.occurrence import pack_members
 
     rng = np.random.default_rng(0)
     members = [
@@ -64,42 +60,21 @@ def main():
         for _ in range(N_GENOMES)
     ]
     codes, gids = pack_members(members)
-    fn = (
-        _occurrence_histogram_dyn_packed_pallas
-        if _pallas_ok(codes.shape[0], N_GENOMES)
-        else _occurrence_histogram_dyn_packed
-    )
     cj, gj = jnp.asarray(codes), jnp.asarray(gids)
 
-    by_class = {}
-    for k in K_GRID:
-        by_class.setdefault(kmax_class_packed(k), []).append(k)
+    def run_grid():
+        return occurrence_histograms_sweep_packed(
+            (cj, gj), N_GENOMES, K_GRID, cs=5000, cx=16
+        )
 
-    def make_sweep(km, n_ks):
-        w = occ_words_packed(km)
-
-        @jax.jit
-        def sweep(c, g, ks):
-            def body(i, acc):
-                h = fn((c, g), ks[i], km, 5000, 255, w, N_GENOMES)
-                return acc + h[0]
-            return jax.lax.fori_loop(0, n_ks, body, jnp.int32(0))
-
-        return sweep
-
-    sweeps = {}
-    chk = 0
-    for km, ks in sorted(by_class.items()):
-        sweeps[km] = (make_sweep(km, len(ks)), jnp.asarray(ks, jnp.uint32))
-        chk += int(np.asarray(sweeps[km][0](cj, gj, sweeps[km][1])))  # compile
+    hists = run_grid()  # compile
+    chk = sum(hists[k][0] for k in K_GRID)
 
     n_kmers_total = len(K_GRID) * N_GENOMES * GENOME_LEN
     times = []
     for _ in range(REPS):
         t0 = time.time()
-        for km in sorted(sweeps):
-            sweep, ks = sweeps[km]
-            np.asarray(sweep(cj, gj, ks))
+        run_grid()
         times.append(time.time() - t0)
     kmers_per_s = n_kmers_total / min(times)
 

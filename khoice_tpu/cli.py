@@ -84,6 +84,8 @@ def cmd_run(args) -> int:
         cfg.num_datasets = args.num_datasets
     if args.kmers_per_dataset:
         cfg.kmers_per_dataset = args.kmers_per_dataset
+    if getattr(args, "mesh_shards", None):
+        cfg.mesh_shards = args.mesh_shards
 
     db = _load_datasets(cfg.database_root)
     driver = Driver(cfg.work_root, force=args.force)
@@ -102,6 +104,12 @@ def cmd_run(args) -> int:
     elif et == 1:
         from .pipelines.exp1 import run_exp1
 
+        mesh = None
+        if cfg.mesh_shards > 1:
+            from .dist.mesh import make_mesh
+
+            mesh = make_mesh(cfg.mesh_shards)
+            log.info("SPMD over %d devices (kv key-range axis)", cfg.mesh_shards)
         groups = {num: genomes_of(num) for num in db}
         driver.run([Stage(
             name="exp1",
@@ -111,7 +119,7 @@ def cmd_run(args) -> int:
             ],
             fn=lambda: run_exp1(groups, cfg.k_values, cfg.work_root,
                                 union_cs=cfg.union_cs, count_cs=cfg.count_cs,
-                                hist_cx=cfg.hist_cx),
+                                hist_cx=cfg.hist_cx, mesh=mesh),
         )])
     elif et in (2, 3, 4, 5, 6, 7, 8):
         exp0 = _ensure_exp0(cfg, db)
@@ -219,6 +227,8 @@ def main(argv=None) -> int:
     run_p.add_argument("--k-values", default=None, help="comma-separated k grid override")
     run_p.add_argument("--num-datasets", type=int, default=None)
     run_p.add_argument("--kmers-per-dataset", type=int, default=None)
+    run_p.add_argument("--mesh-shards", type=int, default=None,
+                       help="devices along the k-mer key-range mesh axis")
     run_p.add_argument("--force", action="store_true", help="ignore satisfied outputs")
     run_p.set_defaults(fn=cmd_run)
 

@@ -38,6 +38,11 @@ class KhoiceConfig:
     num_reads_per_dataset: int = 10_000
     k_values: List[int] = dataclasses.field(default_factory=default_k_values)
     t_values: List[int] = dataclasses.field(default_factory=default_t_values)
+    # reference config/config.yaml:11,15 — pbsim HMM model path (forwarded to
+    # the ONT read simulator as its error-profile seed material) and the
+    # trial-info directory for pinned pivot choices
+    pbsim_model: str = ""
+    trial_info_dir: str = ""
 
     # --- counter semantics (KMC defaults + reference overrides) ---
     count_cs: int = 255          # kmc default counter cap
@@ -67,6 +72,8 @@ class KhoiceConfig:
             "KMERS_PER_DATASET": "kmers_per_dataset",
             "NON_KMERS_PER_DATASET": "non_kmers_per_dataset",
             "NUM_READS_PER_DATASET": "num_reads_per_dataset",
+            "PBSIM_MODEL": "pbsim_model",
+            "TRIAL_INFO_DIR": "trial_info_dir",
         }
         kwargs = {}
         for key, val in raw.items():

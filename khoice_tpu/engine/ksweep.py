@@ -1,0 +1,308 @@
+"""Shared-sort k-sweep: every k's occurrence histogram from ONE device sort.
+
+The reference runs its whole pipeline once per k over a 30-point grid
+(workflow/Snakefile:36), so the fused occurrence step (engine/occurrence.py)
+pays one (key, gid) sort per k — and profiling shows that sort is 73-80% of
+the fused step's device time.  This module removes the per-k sort entirely:
+
+THE TRICK — canonical histograms from one forward-prefix sort of the
+DOUBLED text (each genome followed by its reverse complement):
+
+  * forward k-mer keys nest: the forward key of the k-mer at position i is
+    the top 2k bits of the kmax-mer at i, so ONE sort by (A-padded) forward
+    kmax-mer groups every k <= kmax's k-mers into contiguous runs
+    simultaneously (a k-run = maximal stretch of equal top-2k bits).
+  * canonical counting needs min(fwd, revcomp) per k, which does NOT nest —
+    so instead of canonicalizing we COUNT BOTH STRANDS: in seq+revcomp(seq),
+    genome g contains forward k-mer x iff g contains the canonical class
+    {x, revcomp(x)}.  Hence every run's distinct-genome set equals its
+    canonical class's genome set, each non-palindromic class appears as
+    exactly TWO runs (x and revcomp(x)) with identical sets, and a
+    palindromic class (x == revcomp(x), even k only) as ONE:
+
+        hist_canonical = (hist_doubled + hist_palindromic) / 2     (exact)
+
+  * per-position validity is carried as nio = #consecutive valid bases from
+    the position (capped at kmax): the element participates for k iff
+    nio >= k, which handles N bases, record separators and short contigs
+    exactly (bases past nio are A-padded in the key; such elements either
+    land inside a real run — where the mask silences them — or form
+    all-masked phantom runs that contribute nothing).
+  * distinct genomes per run need no gid adjacency: a segmented OR-scan of
+    one-hot gid bitmasks over each k-run, popcount at run ends.
+
+Replaces, per (k, group), the reference's `kmc` count + `kmc_tools complex`
+union + `histogram` chain (workflow/rules/exp_type_1.smk:156-191) — for the
+WHOLE k grid at the cost of ~one sort per key-word class instead of one per
+k.  Histograms are bit-identical to engine/occurrence.py (tested).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GID_BITS = 8  # gids in the payload word; n_members <= 32 for the mask scan
+NIO_BITS = 8
+
+
+def sweep_classes(ks: Sequence[int]) -> List[tuple]:
+    """Partition a k grid into shared-sort classes [(kmax, KW, ks), ...].
+
+    One class per key-word count KW = ceil(2*kmax/32); ks needing one word
+    are merged into the two-word class when one exists (a second full sort
+    costs more than widening the scan of an existing one).
+    """
+    ks = sorted(set(int(k) for k in ks))
+    if not ks:
+        return []
+    buckets: Dict[int, List[int]] = {}
+    for k in ks:
+        if k < 2 or k > 63:
+            raise ValueError(f"k={k} outside supported sweep range [2, 63]")
+        buckets.setdefault((2 * k + 31) // 32, []).append(k)
+    if 1 in buckets and 2 in buckets:
+        buckets[2] = buckets.pop(1) + buckets[2]
+    return [
+        (max(bks), (2 * max(bks) + 31) // 32, tuple(sorted(bks)))
+        for _, bks in sorted(buckets.items())
+    ]
+
+
+def _shl_words(words: tuple, s: int) -> tuple:
+    """Left-shift a KW-word (MSB-first) tuple by a static bit count s < 32."""
+    if s == 0:
+        return words
+    out = []
+    n = len(words)
+    for i in range(n):
+        lo = (words[i + 1] >> (32 - s)) if i + 1 < n else jnp.zeros_like(words[i])
+        out.append((words[i] << s) | lo)
+    return tuple(out)
+
+
+def _rev2comp_words(words: tuple) -> tuple:
+    """Reverse 2-bit groups of the complemented full KW*32-bit value.
+
+    With the key left-aligned in the top 2*kmax bits, the result holds the
+    reverse complement of the kmax window in its LOW 2*kmax bits: original
+    digit j (0 = window start) lands at 2-bit group j from the bottom, so
+    the low 2k bits read MSB-first are comp(b_{k-1})..comp(b_0) — the
+    reverse complement of the k-prefix, for every k <= kmax at once.
+    """
+    out = []
+    for w in reversed(words):
+        x = ~w
+        x = ((x & jnp.uint32(0x33333333)) << 2) | ((x >> 2) & jnp.uint32(0x33333333))
+        x = ((x & jnp.uint32(0x0F0F0F0F)) << 4) | ((x >> 4) & jnp.uint32(0x0F0F0F0F))
+        x = ((x & jnp.uint32(0x00FF00FF)) << 8) | ((x >> 8) & jnp.uint32(0x00FF00FF))
+        x = (x << 16) | (x >> 16)
+        out.append(x)
+    return tuple(out)
+
+
+def _extract_fwd_sweep(codes2, gids2, kmax: int, KW: int):
+    """Forward kmax-mer keys (A-padded past the first invalid base,
+    left-aligned in KW uint32 words) + payload word (gid << 8 | nio)."""
+    n = codes2.shape[0]
+    cp = jnp.concatenate([codes2, jnp.full((kmax,), 4, codes2.dtype)])
+    fwd = tuple(jnp.zeros((n,), jnp.uint32) for _ in range(KW))
+    alive = jnp.ones((n,), jnp.bool_)
+    nio = jnp.zeros((n,), jnp.uint32)
+    for j in range(kmax):
+        c = cp[j : j + n]
+        alive = alive & (c < 4)
+        d = jnp.where(alive, c.astype(jnp.uint32) & 3, jnp.uint32(0))
+        nf = []
+        for wi in range(KW - 1):
+            nf.append((fwd[wi] << 2) | (fwd[wi + 1] >> 30))
+        nf.append((fwd[KW - 1] << 2) | d)
+        fwd = tuple(nf)
+        nio = nio + alive.astype(jnp.uint32)
+    fwd = _shl_words(fwd, KW * 32 - 2 * kmax)
+    payload = (gids2 << NIO_BITS) | nio
+    return fwd, payload
+
+
+def _key_new_mask(skeys: tuple, prev: tuple, k: int, KW: int):
+    """True where the top 2k bits differ from the previous element."""
+    shift = KW * 32 - 2 * k  # key bits for k live at positions >= shift
+    neq = jnp.zeros_like(skeys[0], dtype=jnp.bool_)
+    for i in range(KW):
+        lo_bit = (KW - 1 - i) * 32  # bit position of word i's LSB
+        if lo_bit >= shift:
+            neq = neq | (skeys[i] != prev[i])
+        elif lo_bit + 32 > shift:
+            s = shift - lo_bit
+            neq = neq | ((skeys[i] >> s) != (prev[i] >> s))
+    return neq
+
+
+def _pal_mask(skeys: tuple, rev: tuple, k: int, KW: int):
+    """True where the k-prefix equals its own reverse complement (pal run)."""
+    shift = KW * 32 - 2 * k
+    # lhs = key >> shift, rhs = rev & ((1 << 2k) - 1), compared word-wise
+    eq = jnp.ones_like(skeys[0], dtype=jnp.bool_)
+    for i in range(KW):
+        # word i of (key >> shift): take from words above
+        wshift, bshift = divmod(shift, 32)
+        src = i - wshift
+        lhs = jnp.zeros_like(skeys[0])
+        if src >= 0:
+            lhs = skeys[src] >> bshift
+            if bshift > 0 and src - 1 >= 0:
+                lhs = lhs | (skeys[src - 1] << (32 - bshift))
+        # word i of rev masked to low 2k bits
+        lo_bit = (KW - 1 - i) * 32
+        if lo_bit >= 2 * k:
+            rhs = jnp.zeros_like(rev[i])
+        elif lo_bit + 32 <= 2 * k:
+            rhs = rev[i]
+        else:
+            rhs = rev[i] & jnp.uint32((1 << (2 * k - lo_bit)) - 1)
+        if lo_bit + 32 > 2 * k:  # mask lhs identically (top bits beyond 2k)
+            if lo_bit >= 2 * k:
+                lhs = jnp.zeros_like(lhs)
+            else:
+                lhs = lhs & jnp.uint32((1 << (2 * k - lo_bit)) - 1)
+        eq = eq & (lhs == rhs)
+    return eq
+
+
+def _seg_or_scan(m, boundary):
+    """Inclusive segmented OR scan (reset at boundary; boundary[0] True)."""
+
+    def comb(a, b):
+        (ma, fa), (mb, fb) = a, b
+        return jnp.where(fb, mb, ma | mb), fa | fb
+
+    out, _ = jax.lax.associative_scan(comb, (m, boundary))
+    return out
+
+
+def _scan_multi_k_xla(skeys, spayload, ks, kmax, KW, n_members, cs):
+    """XLA fallback of the multi-k occurrence scan (exact; CPU-friendly).
+
+    Returns (n_ks, n_members) int32: canonical histograms, bin b-1 =
+    #classes present in exactly b members.
+    """
+    prev = tuple(jnp.roll(w, 1) for w in skeys)
+    gid = (spayload >> NIO_BITS) & jnp.uint32(0xFF)
+    nio = spayload & jnp.uint32((1 << NIO_BITS) - 1)
+    rev = _rev2comp_words(skeys)
+    hists = []
+    for k in ks:
+        key_new = _key_new_mask(skeys, prev, k, KW).at[0].set(True)
+        m = jnp.where(nio >= k, jnp.uint32(1) << gid, jnp.uint32(0))
+        or_scan = _seg_or_scan(m, key_new)
+        run_end = jnp.roll(key_new, -1).at[-1].set(True)
+        b = jnp.minimum(
+            jax.lax.population_count(or_scan).astype(jnp.uint32), jnp.uint32(cs)
+        )
+        bins_d = [
+            jnp.sum((run_end & (b == i)).astype(jnp.int32))
+            for i in range(1, n_members + 1)
+        ]
+        hist_d = jnp.stack(bins_d)
+        if k % 2 == 0:
+            pal = _pal_mask(skeys, rev, k, KW)
+            bins_p = [
+                jnp.sum((run_end & pal & (b == i)).astype(jnp.int32))
+                for i in range(1, n_members + 1)
+            ]
+            hist_p = jnp.stack(bins_p)
+        else:
+            hist_p = jnp.zeros((n_members,), jnp.int32)
+        hists.append((hist_d + hist_p) // 2)
+    return jnp.stack(hists)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def _sweep_class_fn(codes, gids, ks, kmax, KW, n_members, cs, use_pallas):
+    """All of `ks`'s canonical occurrence histograms from one doubled-text
+    sort. codes: uint8 [n] (packed members, code 4 separators), gids:
+    uint32 [n]. Returns (len(ks), n_members) int32."""
+    rc = jnp.where(codes < 4, codes ^ 3, codes)[::-1]
+    codes2 = jnp.concatenate([codes, rc])
+    gids2 = jnp.concatenate([gids, gids[::-1]])
+    fwd, payload = _extract_fwd_sweep(codes2, gids2, kmax, KW)
+    ops = jax.lax.sort(list(fwd) + [payload], num_keys=KW, is_stable=False)
+    skeys, spay = tuple(ops[:KW]), ops[KW]
+    if use_pallas:
+        from ..kernels.ksweep_scan_pallas import scan_multi_k_pallas
+
+        return scan_multi_k_pallas(skeys, spay, ks, kmax, KW, n_members, cs)
+    return _scan_multi_k_xla(skeys, spay, ks, kmax, KW, n_members, cs)
+
+
+def _sweep_pallas_ok(n2: int, n_members: int) -> bool:
+    from ..kernels.ksweep_scan_pallas import TILE
+    from .occurrence import compute_on_tpu
+
+    return n2 % TILE == 0 and compute_on_tpu()
+
+
+def occurrence_histograms_sweep_packed(
+    packed,
+    n_members: int,
+    ks: Sequence[int],
+    cs: int = 5000,
+    cx: int = 10000,
+) -> Dict[int, List[int]]:
+    """{k: exp1 occurrence histogram (list of cx ints)} for every k in `ks`
+    over pre-packed (codes, gids) device arrays (see occurrence.pack_members).
+
+    Uses the shared-sort sweep for word classes with >= 3 ks (where one
+    doubled-text sort beats per-k sorts) and n_members <= 32; other ks fall
+    back to the per-k fused path. Bit-identical to occurrence_histogram.
+    """
+    from .occurrence import occurrence_histogram_packed
+
+    codes, gids = packed
+    out: Dict[int, List[int]] = {}
+    remaining: List[int] = []
+    n2 = 2 * int(codes.shape[0])
+    for kmax, KW, cks in sweep_classes(ks):
+        if len(cks) < 3 or n_members > 32:
+            remaining.extend(cks)
+            continue
+        use_pallas = _sweep_pallas_ok(n2, n_members)
+        hists = np.asarray(
+            _sweep_class_fn(
+                jnp.asarray(codes),
+                jnp.asarray(gids),
+                cks,
+                kmax,
+                KW,
+                n_members,
+                cs,
+                use_pallas,
+            )
+        )
+        for i, k in enumerate(cks):
+            h = [0] * cx
+            h[: min(n_members, cx)] = hists[i][: min(n_members, cx)].tolist()
+            out[k] = h
+    for k in remaining:
+        out[k] = occurrence_histogram_packed(packed, n_members, k, cs=cs, cx=cx)
+    return out
+
+
+def occurrence_histograms_sweep(
+    member_codes: Sequence[np.ndarray],
+    ks: Sequence[int],
+    cs: int = 5000,
+    cx: int = 10000,
+) -> Dict[int, List[int]]:
+    """Sweep API over raw member code arrays (packs + uploads once)."""
+    from .occurrence import pack_members
+
+    codes, gids = pack_members(member_codes)
+    packed = (jax.device_put(codes), jax.device_put(gids))
+    return occurrence_histograms_sweep_packed(
+        packed, len(member_codes), ks, cs=cs, cx=cx
+    )

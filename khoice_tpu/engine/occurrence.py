@@ -307,16 +307,21 @@ def _occurrence_histogram_dyn_pallas(codes_gids, k, kmax, cs, cx, n_words, n_mem
     return hist.at[:max_occ].set(small)
 
 
+def compute_on_tpu() -> bool:
+    """True when device ops will actually land on a TPU (the default
+    backend can be TPU while jax_default_device pins CPU, as in tests)."""
+    import jax as _jax
+
+    dd = _jax.config.jax_default_device
+    if dd is not None:
+        return dd.platform == "tpu"
+    return _jax.default_backend() == "tpu"
+
+
 def _pallas_ok(n: int, n_members: int) -> bool:
     from ..kernels.occ_scan_pallas import BINS_PAD, TILE
 
-    import jax as _jax
-
-    return (
-        n % TILE == 0
-        and n_members <= BINS_PAD
-        and _jax.default_backend() == "tpu"
-    )
+    return n % TILE == 0 and n_members <= BINS_PAD and compute_on_tpu()
 
 
 def pack_members(member_codes: Sequence[np.ndarray]):

@@ -106,17 +106,20 @@ def run_exp1(
         else:
             import jax as _jax
 
-            from ..engine.occurrence import (
-                occurrence_histogram_packed,
-                pack_members,
-            )
+            from ..engine.ksweep import occurrence_histograms_sweep_packed
+            from ..engine.occurrence import pack_members
 
-            # pack + upload each group once; the whole k sweep reuses the
-            # device-resident arrays (the dev TPU link is a slow tunnel)
-            packed_within = {}
+            # pack + upload each group once, then compute the WHOLE k sweep
+            # per group with the shared-sort engine (one sort per key-word
+            # class instead of per k; engine/ksweep.py)
+            ks_list = [int(k) for k in k_values]
+            within_all = {}
             for num in group_nums:
                 c, g = pack_members(codes[num])
-                packed_within[num] = (_jax.device_put(c), _jax.device_put(g))
+                packed = (_jax.device_put(c), _jax.device_put(g))
+                within_all[num] = occurrence_histograms_sweep_packed(
+                    packed, len(codes[num]), ks_list, cs=union_cs, cx=hist_cx
+                )
             group_concat = [
                 np.concatenate(
                     [np.concatenate([c, np.full(1, 4, np.uint8)]) for c in codes[num]]
@@ -125,16 +128,15 @@ def run_exp1(
             ]
             ac, ag = pack_members(group_concat)
             packed_across = (_jax.device_put(ac), _jax.device_put(ag))
+            across_all = occurrence_histograms_sweep_packed(
+                packed_across, len(group_nums), ks_list, cs=union_cs, cx=hist_cx
+            )
 
             within_hist = {
-                num: lambda k, num=num: occurrence_histogram_packed(
-                    packed_within[num], len(codes[num]), k, cs=union_cs, cx=hist_cx
-                )
+                num: lambda k, num=num: within_all[num][int(k)]
                 for num in group_nums
             }
-            across_hist = lambda k: occurrence_histogram_packed(
-                packed_across, len(group_nums), k, cs=union_cs, cx=hist_cx
-            )
+            across_hist = lambda k: across_all[int(k)]
 
     for k in k_values:
         group_sets = []

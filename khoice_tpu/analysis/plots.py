@@ -143,7 +143,7 @@ def plot_accuracy_curves(acc_csv: str, out_path: str, num_cols: int = 10) -> str
     with open(acc_csv) as fd:
         for line in fd:
             f = line.strip().split(",")
-            if len(f) < 6:
+            if len(f) < 6 or f[0] == "k":  # skip trial-CSV header
                 continue
             k, pivot = int(float(f[0])), f[1]
             tp, tn, fp, fn = (float(x) for x in f[2:6])
@@ -169,7 +169,7 @@ def plot_species_comparison(
         with open(path) as fd:
             for line in fd:
                 f = line.strip().split(",")
-                if len(f) < 6:
+                if len(f) < 6 or f[0] == "k":  # skip trial-CSV header
                     continue
                 k = int(float(f[0]))
                 tp, tn, fp, fn = (float(x) for x in f[2:6])
@@ -182,6 +182,52 @@ def plot_species_comparison(
     ax.fill_between(ks, mean - sd, mean + sd, alpha=0.3)
     ax.set_xlabel("k")
     ax.set_ylabel("F1 (mean +/- sd across trials)")
+    return _save(fig, out_path)
+
+
+def plot_species_read_comparison(
+    trial_csvs_by_read_type: Dict[str, Sequence[str]], out_path: str
+) -> str:
+    """Read-level F1 ribbons across k, one line pair per read type
+    (species_read_comparison.R:32-68 role, over exp6 trial CSVs).
+
+    Input CSVs follow exp6's trial schema
+    `k,pivot,TP,TN,FP,FN,TP-U,TN-U,FP-U,FN-U` (exp_type_6.smk:357-361);
+    for each read type ("short"/"long") the solid line is mean F1 of the
+    base columns and the dashed line is mean F1 of the with-unidentified
+    columns (the R script's f1_avg vs f12_avg), each with a +/- sd ribbon
+    across trials.
+    """
+    fig, ax = plt.subplots(figsize=(6, 4))
+    for read_type in sorted(trial_csvs_by_read_type):
+        per_k: Dict[int, List[float]] = {}
+        per_k_u: Dict[int, List[float]] = {}
+        for path in trial_csvs_by_read_type[read_type]:
+            with open(path) as fd:
+                for line in fd:
+                    f = line.strip().split(",")
+                    if len(f) < 10 or f[0] == "k":  # skip trial-CSV header
+                        continue
+                    k = int(float(f[0]))
+                    tp, tn, fp, fn = (float(x) for x in f[2:6])
+                    tpu_, tnu, fpu, fnu = (float(x) for x in f[6:10])
+                    per_k.setdefault(k, []).append(_f1(tp, tn, fp, fn))
+                    per_k_u.setdefault(k, []).append(_f1(tpu_, tnu, fpu, fnu))
+        for data, style, label in (
+            (per_k, "-", f"{read_type} F1"),
+            (per_k_u, "--", f"{read_type} F1 (with unidentified)"),
+        ):
+            ks = sorted(data)
+            if not ks:
+                continue
+            mean = np.array([np.mean(data[k]) for k in ks])
+            sd = np.array([np.std(data[k]) for k in ks])
+            (line,) = ax.plot(ks, mean, style, marker="o", ms=3, label=label)
+            ax.fill_between(ks, mean - sd, mean + sd, alpha=0.2,
+                            color=line.get_color())
+    ax.set_xlabel("Kmer length (k)")
+    ax.set_ylabel("F1")
+    ax.legend(fontsize=7)
     return _save(fig, out_path)
 
 

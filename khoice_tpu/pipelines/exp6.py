@@ -96,6 +96,8 @@ def run_exp6(
 
     final = os.path.join(out_dir, f"trial_{trial}_{label}_acc.csv")
     with open(final, "w") as out_fd:
+        # header printf'd before the cat in the reference (exp_type_6.smk:357)
+        out_fd.write("k,pivotnum,TP,TN,FP,FN,TP-U,TN-U,FP-U,FN-U\n")
         for k in glob_lexicographic(k_values):
             with open(os.path.join(acc_dir, f"values/k_{k}_accuracy_values.csv")) as fd:
                 out_fd.write(fd.read())

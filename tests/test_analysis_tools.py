@@ -126,3 +126,83 @@ def test_plots_smoke(tmp_path):
 
     out = plots.plot_database_percent({25: str(step5), 100: str(step5)}, str(tmp_path / "dp.png"))
     assert os.path.getsize(out) > 0
+
+
+def _write_clustal(path, genomes, width=60):
+    """Minimal clustal-style writer: 3 header lines, 60-col blocks."""
+    length = len(next(iter(genomes.values())))
+    with open(path, "w") as fd:
+        fd.write("CLUSTAL multiple sequence alignment\n\n\n")
+        for lo in range(0, length, width):
+            for name, seq in genomes.items():
+                fd.write(f"{name} {seq[lo:lo + width]}\n")
+            fd.write("cons " + "*" * min(width, length - lo) + "\n")
+            fd.write("\n")
+
+
+def test_msa_reference_surface(tmp_path):
+    """parse_msa_file / figures / extract_sections vs src/analyze_msa.py
+    semantics: nat-log entropy, 'valid' rolling, 0.35 crossings at
+    >=500/>=3000/>=5000, gap-stripped section FASTAs."""
+    from khoice_tpu.analysis.msa import (
+        analyze_msa_file,
+        entropy_scores_nat,
+        parse_msa_file,
+        reference_rolling,
+    )
+
+    # entropy in nats: 2 symbols evenly split -> ln 2
+    assert abs(entropy_scores_nat(["AC", "AG"])[1] - math.log(2)) < 1e-12
+    assert entropy_scores_nat(["AC", "AG"])[0] == 0.0
+
+    # Alignment: [0,800) conserved, [800,3200) varied, [3200,5200)
+    # conserved, [5200,7000) varied -> rolling crossings inside the
+    # reference's search windows. g2 carries gaps in the varied spans.
+    n = 7000
+
+    def seg(i):
+        return (800 <= i < 3200) or (5200 <= i)
+
+    g1 = "".join("C" if seg(i) else "A" for i in range(n))
+    g2 = "".join(("-" if i % 97 == 0 else "G") if seg(i) else "A" for i in range(n))
+    msa = tmp_path / "virus.msa"
+    _write_clustal(str(msa), {"g1": g1, "g2": g2})
+
+    entropy, genomes = parse_msa_file(str(msa))
+    assert len(entropy) == n and set(genomes) == {"g1", "g2"}
+    assert genomes["g1"] == g1 and genomes["g2"] == g2
+    assert entropy[0] == 0.0 and abs(entropy[1000] - math.log(2)) < 1e-12
+
+    roll = reference_rolling(entropy)
+    assert len(roll) == n - 249
+
+    outdir = tmp_path / "sections"
+    outdir.mkdir()
+    analyze_msa_file(str(msa), str(outdir), num_to_extract=2, plots=True)
+    for suffix in (".png", ".rolling.png", ".rolling_with_cuts.png"):
+        assert os.path.getsize(str(msa) + suffix) > 0
+    left0 = open(outdir / "seq_0_left.fna").read()
+    assert left0.startswith(">seq_0_left\n")
+    # g2's sections must have gaps stripped (left spans the varied
+    # region where g2 carries '-' every 97 columns)
+    left1 = open(outdir / "seq_1_left.fna").read().splitlines()[1]
+    assert "-" not in left1 and len(left1) > 0
+    right1 = open(outdir / "seq_1_right.fna").read().splitlines()[1]
+    assert "-" not in right1 and len(right1) > 0
+
+
+def test_plot_species_read_comparison(tmp_path):
+    from khoice_tpu.analysis import plots
+
+    csvs = {}
+    for rt in ("short", "long"):
+        paths = []
+        for t in (1, 2):
+            p = tmp_path / f"trial_{t}_{rt}_acc.csv"
+            with open(p, "w") as fd:
+                for k in (7, 9, 11):
+                    fd.write(f"{k},0,10,20,{t},4,8,20,{t + 1},6\n")
+            paths.append(str(p))
+        csvs[rt] = paths
+    out = plots.plot_species_read_comparison(csvs, str(tmp_path / "rd.png"))
+    assert os.path.getsize(out) > 0

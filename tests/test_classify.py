@@ -146,7 +146,9 @@ def test_exp4_exp6_end_to_end(rng, tmp_path):
     reads = {num: [pivots[num][0][i : i + 50] for i in range(0, 250, 25)] for num in rest}
     out6 = run_exp6(reads, rest, ks, str(tmp_path), read_type="illumina")
     lines6 = open(out6).read().strip().split("\n")
-    assert len(lines6) == len(ks) * len(rest)
-    row = [int(float(x)) for x in lines6[0].split(",")]
+    # header printf'd first (exp_type_6.smk:357), then one row per (k, pivot)
+    assert lines6[0] == "k,pivotnum,TP,TN,FP,FN,TP-U,TN-U,FP-U,FN-U"
+    assert len(lines6) == 1 + len(ks) * len(rest)
+    row = [int(float(x)) for x in lines6[1].split(",")]
     # [k, pivot, TP, TN, FP, FN, ...-U] : total reads conserved per k
     assert len(row) == 10

@@ -47,9 +47,12 @@ def init_multihost(
 
     The multi-host analogue of the reference's (non-existent) distributed
     backend — counting's all_to_all rides ICI within a slice and DCN
-    across hosts; per-host pre-aggregation in sharded_count keeps DCN
-    volume to the deduped (key, count) runs (SURVEY.md section 7.4 item 5).
-    Call once per process before building meshes.
+    across hosts. Exchange volume is bounded before any data leaves a
+    device: each device sorts and dedupes its (key, gid) pairs locally
+    and buckets in dedup-rank space (dist/occurrence.py), so the
+    collective carries deduped runs, not raw k-mer streams (SURVEY.md
+    section 7.4 item 5). Call once per process before building meshes;
+    see dist/multihost.py for assembling per-process inputs.
     """
     jax.distributed.initialize(
         coordinator_address=coordinator_address,

@@ -58,6 +58,14 @@ def _build_lib() -> Optional[ctypes.CDLL]:
             lib.ms_locate.argtypes = [ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int64]
             lib.ms_text_len.restype = ctypes.c_int64
             lib.ms_text_len.argtypes = [ctypes.c_void_p]
+            lib.ms_batch.argtypes = [
+                ctypes.c_char_p,
+                ctypes.c_int64,
+                ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
             _LIB = lib
         except Exception:
             _LIB_FAILED = True
@@ -115,6 +123,35 @@ class MatchingStatisticsIndex:
 
     def contains(self, pattern: str) -> bool:
         return self.locate(pattern) >= 0
+
+    def batch_matching_statistics(self, reads: List[str]) -> List[np.ndarray]:
+        """Matching statistics for a whole read set in one pass.
+
+        Uses the native generalized-suffix-array batch path — one SA over
+        text++reads with unique boundary separators, a Kasai LCP pass and
+        two linear sweeps — O((n+m) log(n+m)) TOTAL instead of per-position
+        restart queries (the SPUMONI `run -M -n` workload shape: GB-scale
+        reference, 10k reads, exp_type_5.smk:115-133).  Falls back to
+        per-read queries when the native library is unavailable.
+        """
+        if not reads:
+            return []
+        if self._lib is None or not hasattr(self._lib, "ms_batch"):
+            return [self.matching_statistics(r) for r in reads]
+        concat = "".join(reads).encode("ascii")
+        offs = np.zeros(len(reads) + 1, np.int64)
+        np.cumsum([len(r) for r in reads], out=offs[1:])
+        out = np.zeros(int(offs[-1]), np.int32)
+        text = self._text.encode("ascii")
+        self._lib.ms_batch(
+            text,
+            len(text),
+            concat,
+            offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(reads),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return [out[offs[i] : offs[i + 1]].copy() for i in range(len(reads))]
 
     def _py_longest_prefix(self, q: str):
         """(longest matched prefix length, a position matching it)."""

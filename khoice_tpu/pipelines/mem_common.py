@@ -46,7 +46,9 @@ def combined_text(dataset_genomes: Sequence[List[str]]) -> Tuple[str, int]:
 def matching_statistics_per_record(
     index: MatchingStatisticsIndex, records: Sequence[str]
 ) -> List[np.ndarray]:
-    return [index.matching_statistics(r) for r in records]
+    """One batch SA pass over the whole read set (spumoni `run -M -n`
+    role at its real scale) instead of per-position restart queries."""
+    return index.batch_matching_statistics(list(records))
 
 
 def extract_features(

@@ -115,3 +115,36 @@ def test_exp8_threshold_sweep(rng, tmp_path):
     assert set(out["mems"].keys()) == {1, 20}
     for t in (1, 20):
         assert "t_" + str(t) in out["mems"][t]["confusion_matrix"]
+
+
+def test_batch_matching_statistics_vs_brute(rng):
+    """Batch MS (generalized SA + LCP sweeps) must equal both brute force
+    and the per-read query path — including reads with zero matches, exact
+    full-text reads, and repeat-heavy text."""
+    text = random_dna(rng, 400) + "ACGT" * 50 + random_dna(rng, 200)
+    idx = MatchingStatisticsIndex(text)
+    reads = [
+        random_dna(rng, 35),
+        text[50:120],                      # exact substring
+        "ACGT" * 12,                       # repeat family
+        random_dna(rng, 10) + text[500:540] + random_dna(rng, 10),
+        "N" * 20,                          # symbols absent from text
+    ]
+    got = idx.batch_matching_statistics(reads)
+    assert len(got) == len(reads)
+    for q, ms in zip(reads, got):
+        assert ms.tolist() == brute_ms(text, q), q[:20]
+        assert ms.tolist() == idx.matching_statistics(q).tolist()
+
+
+def test_batch_matching_statistics_no_cross_read_leak(rng):
+    """A pattern shared by two READS but absent from the text must not
+    inflate MS (the unique-separator property of the batch SA)."""
+    text = random_dna(rng, 300)
+    shared = "TTTTGGGGCCCCAAAATTTT"
+    assert shared not in text
+    reads = [shared + random_dna(rng, 20), random_dna(rng, 20) + shared]
+    idx = MatchingStatisticsIndex(text)
+    got = idx.batch_matching_statistics(reads)
+    for q, ms in zip(reads, got):
+        assert ms.tolist() == brute_ms(text, q)

@@ -32,11 +32,11 @@ def _load_datasets(database_root: str) -> Dict[int, Dict[str, List[str]]]:
     return db
 
 
-def _trial_root(cfg: KhoiceConfig) -> str:
-    return os.path.join(cfg.work_root, f"trial_{cfg.curr_trial}")
+def _trial_root(cfg: KhoiceConfig, root: str) -> str:
+    return os.path.join(root, f"trial_{cfg.curr_trial}")
 
 
-def _ensure_exp0(cfg: KhoiceConfig, db) -> dict:
+def _ensure_exp0(cfg: KhoiceConfig, db, root: str) -> dict:
     """Run exp0 for the current trial unless its outputs already exist."""
     from .pipelines.exp0 import run_exp0, READ_TYPES
 
@@ -44,16 +44,16 @@ def _ensure_exp0(cfg: KhoiceConfig, db) -> dict:
     # mid-exp0 leaves earlier directories behind, and loading from those
     # partial outputs fails on missing read files
     marker = os.path.join(
-        cfg.work_root, "trial_summaries", f"trial_{cfg.curr_trial}_summary.txt"
+        root, "trial_summaries", f"trial_{cfg.curr_trial}_summary.txt"
     )
     if os.path.isfile(marker):
-        return _load_exp0(cfg, db)
-    return run_exp0(db, cfg, cfg.curr_trial, cfg.work_root)
+        return _load_exp0(cfg, db, root)
+    return run_exp0(db, cfg, cfg.curr_trial, root)
 
 
-def _load_exp0(cfg: KhoiceConfig, db) -> dict:
+def _load_exp0(cfg: KhoiceConfig, db, root: str) -> dict:
     """Re-load a previously produced exp0 trial layout."""
-    troot = _trial_root(cfg)
+    troot = _trial_root(cfg, root)
     pivots, nonpivots, reads = {}, {}, {}
     for num in sorted(db):
         with open(os.path.join(troot, f"exp0_pivot_genomes/dataset_{num}/pivot_name.txt")) as fd:
@@ -86,8 +86,35 @@ def cmd_run(args) -> int:
         cfg.kmers_per_dataset = args.kmers_per_dataset
     if getattr(args, "mesh_shards", None):
         cfg.mesh_shards = args.mesh_shards
+    if getattr(args, "trials", None):
+        cfg.num_trials = args.trials
 
     db = _load_datasets(cfg.database_root)
+
+    # Multi-trial fan-out: the reference fans exp0 over NUM_TRIALS via the
+    # trial wildcard (prepare_data.smk:42-117) and runs each downstream
+    # experiment per CURR_TRIAL. `--trials N` loops trials here. exp0/exp6
+    # outputs are trial-keyed already; the other exp0-dependent experiments
+    # write per-trial subroots so trials don't clobber each other (the
+    # reference's per-trial WORK_ROOT convention).
+    if getattr(args, "trials", None) and args.trials > 1 and cfg.exp_type != 1:
+        base_root = cfg.work_root
+        rc = 0
+        for t in range(1, args.trials + 1):
+            cfg.curr_trial = t
+            cfg.work_root = (
+                base_root
+                if cfg.exp_type in (0, 6)
+                else os.path.join(base_root, f"trial_{t}_results")
+            )
+            log.info("=== trial %d/%d ===", t, args.trials)
+            rc |= _run_one(cfg, args, db, exp0_root=base_root)
+        cfg.work_root = base_root
+        return rc
+    return _run_one(cfg, args, db, exp0_root=cfg.work_root)
+
+
+def _run_one(cfg: KhoiceConfig, args, db, exp0_root: str) -> int:
     driver = Driver(cfg.work_root, force=args.force)
     et = cfg.exp_type
     log.info("exp_type=%d datasets=%d k-grid=%d points", et, len(db), len(cfg.k_values))
@@ -98,8 +125,8 @@ def cmd_run(args) -> int:
     if et == 0:
         driver.run([Stage(
             name="exp0",
-            outputs=[os.path.join(cfg.work_root, f"trial_summaries/trial_{cfg.curr_trial}_summary.txt")],
-            fn=lambda: _ensure_exp0(cfg, db),
+            outputs=[os.path.join(exp0_root, f"trial_summaries/trial_{cfg.curr_trial}_summary.txt")],
+            fn=lambda: _ensure_exp0(cfg, db, exp0_root),
         )])
     elif et == 1:
         from .pipelines.exp1 import run_exp1
@@ -122,7 +149,7 @@ def cmd_run(args) -> int:
                                 hist_cx=cfg.hist_cx, mesh=mesh),
         )])
     elif et in (2, 3, 4, 5, 6, 7, 8):
-        exp0 = _ensure_exp0(cfg, db)
+        exp0 = _ensure_exp0(cfg, db, exp0_root)
         pivots = {num: db[num][exp0["pivots"][num]] for num in db}
         nonpivot_genomes = {
             num: [db[num][n] for n in exp0["nonpivots"][num]] for num in db
@@ -229,6 +256,8 @@ def main(argv=None) -> int:
     run_p.add_argument("--kmers-per-dataset", type=int, default=None)
     run_p.add_argument("--mesh-shards", type=int, default=None,
                        help="devices along the k-mer key-range mesh axis")
+    run_p.add_argument("--trials", type=int, default=None,
+                       help="fan the experiment over trials 1..N (reference NUM_TRIALS)")
     run_p.add_argument("--force", action="store_true", help="ignore satisfied outputs")
     run_p.set_defaults(fn=cmd_run)
 

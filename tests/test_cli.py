@@ -74,3 +74,31 @@ def test_cli_exp4_in_pivot(database, tmp_path):
     assert os.path.exists(final)
     lines = open(final).read().strip().split("\n")
     assert len(lines) == 2  # one k x two pivots
+
+
+def test_cli_multi_trial_fanout(database, tmp_path):
+    """--trials N fans exp0 over trials 1..N (reference NUM_TRIALS,
+    prepare_data.smk:42-117) and gives exp0-dependent experiments
+    per-trial subroots so runs don't clobber each other."""
+    work = str(tmp_path / "workmt")
+    rc = main([
+        "run", "--exp-type", "0", "--database-root", database,
+        "--work-root", work, "--trials", "2", "--kmers-per-dataset", "1000",
+    ])
+    assert rc == 0
+    for t in (1, 2):
+        assert os.path.exists(
+            os.path.join(work, f"trial_summaries/trial_{t}_summary.txt")
+        )
+        assert os.path.isdir(os.path.join(work, f"trial_{t}/exp0_pivot_reads"))
+
+    rc = main([
+        "run", "--exp-type", "4", "--database-root", database,
+        "--work-root", work, "--trials", "2", "--k-values", "7,9",
+        "--kmers-per-dataset", "1000",
+    ])
+    assert rc == 0
+    for t in (1, 2):
+        assert os.path.exists(
+            os.path.join(work, f"trial_{t}_results/accuracies_type_4/accuracy_values.csv")
+        )

@@ -324,6 +324,78 @@ def _pallas_ok(n: int, n_members: int) -> bool:
     return n % TILE == 0 and n_members <= BINS_PAD and compute_on_tpu()
 
 
+def _member_layout(member_codes: Sequence[np.ndarray]):
+    """(concatenated codes incl. separators, member start offsets, padded
+    length): the shared layout of pack_members / pack_members_device."""
+    parts = []
+    starts = [0]
+    for codes in member_codes:
+        parts.append(np.asarray(codes, np.uint8))
+        parts.append(np.full(1, 4, np.uint8))
+        starts.append(starts[-1] + codes.shape[0] + 1)
+    codes = np.concatenate(parts)
+    granule = 1 << 20
+    n = max(int(codes.shape[0]), 1024)
+    p = ((n + granule - 1) // granule) * granule if n > granule else 1 << (n - 1).bit_length()
+    return codes, np.asarray(starts[:-1], np.int64), int(p)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _unpack_members(packed_bytes, invalid_bits, seps, n):
+    """Device-side expansion of 2-bit packed member codes.
+
+    packed_bytes: uint8 [n/4] (4 codes per byte, LSB first);
+    invalid_bits: uint8 [n/8] bitmask of positions whose code is >= 4
+    (N bases, separators, tail padding); seps: int32 separator positions
+    (for gid reconstruction). Returns (codes uint8 [n], gids uint32 [n])
+    equal to pack_members' output everywhere (gids may differ only on
+    tail padding, which every consumer masks)."""
+    shifts = jnp.arange(4, dtype=jnp.uint32) * 2
+    c = ((packed_bytes[:, None].astype(jnp.uint32) >> shifts[None, :]) & 3).astype(
+        jnp.uint8
+    ).reshape(-1)
+    bshifts = jnp.arange(8, dtype=jnp.uint32)
+    inv = ((invalid_bits[:, None].astype(jnp.uint32) >> bshifts[None, :]) & 1).astype(
+        jnp.bool_
+    ).reshape(-1)
+    c = jnp.where(inv, jnp.uint8(4), c)
+    # gid[i] = index of the member containing i (tail keeps the last gid;
+    # such positions are invalid everywhere)
+    starts = jnp.concatenate([jnp.zeros(1, jnp.int32), seps + 1])
+    marks = jnp.zeros((n,), jnp.uint32).at[starts].add(
+        1, mode="drop"
+    )  # final "start" may be == n (pure-tail), drop it
+    gids = jnp.cumsum(marks) - 1
+    return c, gids.astype(jnp.uint32)
+
+
+def pack_members_device(member_codes: Sequence[np.ndarray]):
+    """pack_members, but host->device transfer is 2-bit packed codes plus
+    a 1-bit invalid mask (~0.375 B/position instead of 5: the uint8 code
+    array AND the uint32 gid array are rebuilt on device). Matters
+    whenever host link bandwidth is the bottleneck — the dev tunnel
+    here, PCIe on real hosts. Bit-identical to pack_members on codes and
+    on every valid position's gid (tested)."""
+    codes, starts, p = _member_layout(member_codes)
+    data_end = int(codes.shape[0])
+    invalid = np.ones(p, np.uint8)
+    invalid[:data_end] = codes >= 4
+    vals = np.where(codes < 4, codes, 0).astype(np.uint8)
+    vals = np.concatenate([vals, np.zeros(p - data_end, np.uint8)])
+    packed_bytes = (
+        vals[0::4] | (vals[1::4] << 2) | (vals[2::4] << 4) | (vals[3::4] << 6)
+    )
+    invalid_bits = np.packbits(invalid, bitorder="little")
+    # separator positions: one before each later member start + final
+    seps = np.concatenate([starts[1:] - 1, [data_end - 1]]).astype(np.int32)
+    return _unpack_members(
+        jax.device_put(packed_bytes),
+        jax.device_put(invalid_bits),
+        jnp.asarray(seps),
+        p,
+    )
+
+
 def pack_members(member_codes: Sequence[np.ndarray]):
     """Concatenate member code arrays with separators and emit gid labels."""
     parts, gparts = [], []

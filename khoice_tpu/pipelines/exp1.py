@@ -104,19 +104,17 @@ def run_exp1(
                 mesh, group_concat, k, cs=union_cs, cx=hist_cx
             )
         else:
-            import jax as _jax
-
             from ..engine.ksweep import occurrence_histograms_sweep_packed
-            from ..engine.occurrence import pack_members
+            from ..engine.occurrence import pack_members_device
 
-            # pack + upload each group once, then compute the WHOLE k sweep
-            # per group with the shared-sort engine (one sort per key-word
-            # class instead of per k; engine/ksweep.py)
+            # pack + upload each group once (2-bit packed transfer, gids
+            # rebuilt on device), then compute the WHOLE k sweep per group
+            # with the shared-sort engine (one sort per key-word class
+            # instead of per k; engine/ksweep.py)
             ks_list = [int(k) for k in k_values]
             within_all = {}
             for num in group_nums:
-                c, g = pack_members(codes[num])
-                packed = (_jax.device_put(c), _jax.device_put(g))
+                packed = pack_members_device(codes[num])
                 within_all[num] = occurrence_histograms_sweep_packed(
                     packed, len(codes[num]), ks_list, cs=union_cs, cx=hist_cx
                 )
@@ -126,8 +124,7 @@ def run_exp1(
                 )
                 for num in group_nums
             ]
-            ac, ag = pack_members(group_concat)
-            packed_across = (_jax.device_put(ac), _jax.device_put(ag))
+            packed_across = pack_members_device(group_concat)
             across_all = occurrence_histograms_sweep_packed(
                 packed_across, len(group_nums), ks_list, cs=union_cs, cx=hist_cx
             )

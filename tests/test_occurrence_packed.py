@@ -171,3 +171,36 @@ def test_packed_pallas_kernel_run_spanning_tiles(rng):
         cs=5000,
     )
     assert hist.tolist() == oracle.histogram(od, cx=len(members))
+
+
+def test_pack_members_device_matches_host(rng):
+    """pack_members_device (2-bit transfer + on-device gid/separator
+    reconstruction) must equal pack_members on every valid position and
+    yield bit-identical occurrence histograms."""
+    import numpy as np
+    from khoice_tpu.engine.occurrence import (
+        occurrence_histogram_packed,
+        pack_members,
+        pack_members_device,
+    )
+    from khoice_tpu.io import encode_records
+    from conftest import random_dna
+
+    members = [
+        encode_records([random_dna(rng, ln) + "N" + random_dna(rng, 40)])
+        for ln in (300, 150, 977)
+    ]
+    hc, hg = pack_members(members)
+    dc, dg = (np.asarray(x) for x in pack_members_device(members))
+    assert dc.shape == hc.shape
+    valid = hc < 4
+    assert np.array_equal(dc[valid], hc[valid])
+    assert np.array_equal(dc >= 4, hc >= 4)  # separators/tail line up
+    assert np.array_equal(dg[valid], hg[valid])
+
+    import jax
+    h1 = occurrence_histogram_packed(
+        (jax.device_put(hc), jax.device_put(hg)), len(members), 13
+    )
+    h2 = occurrence_histogram_packed(pack_members_device(members), len(members), 13)
+    assert h1 == h2

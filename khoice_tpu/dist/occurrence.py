@@ -194,7 +194,7 @@ def _local_occurrence_packed(
     return hist, overflow_any
 
 
-def _sampled_splits(sp: tuple, n_valid, n_shards: int, pos=None):
+def _sampled_splits(sp: tuple, n_valid, n_shards: int, pos=None, gid_bits: int = GID_BITS):
     """Data-driven split keys from a global WEIGHTED quantile sample
     (skew-robust).
 
@@ -233,10 +233,12 @@ def _sampled_splits(sp: tuple, n_valid, n_shards: int, pos=None):
     pos = jnp.searchsorted(cum, targets).astype(jnp.int32)
     pos = jnp.minimum(pos, cum.shape[0] - 1)
     picked = take_words(skeys, pos)
+    if gid_bits == 0:  # plain keys (no packed payload to strip)
+        return picked
     # align splits to KEY boundaries: a sampled packed value carries gid
     # bits, and a split inside a key's (key, gid) run would tear that key's
     # occurrence count across two shards
-    mask = jnp.uint32((0xFFFFFFFF << GID_BITS) & 0xFFFFFFFF)
+    mask = jnp.uint32((0xFFFFFFFF << gid_bits) & 0xFFFFFFFF)
     return picked[:-1] + (picked[-1] & mask,)
 
 

@@ -37,7 +37,7 @@ from ..engine.bits import (
 )
 from ..engine.extract import extract_canonical
 from ..engine.table import KmerTable
-from .mesh import AXIS, split_keys_for
+from .mesh import AXIS
 
 NO_SAT = (1 << 31) - 1  # "no saturation yet": global cap applies post-merge
 
@@ -103,18 +103,27 @@ def _dedupe_local(keys, counts, cs):
     return ops.dedupe_sorted(tuple(sorted_ops[:w]), sorted_ops[w], cs)
 
 
-def _partition_exchange(ukeys, ucounts, splits, bucket_cap, n_shards, cs):
+def _partition_exchange(ukeys, ucounts, bucket_cap, n_shards, cs):
     """Range-partition local unique runs, all_to_all, merge. Returns
-    (keys, counts, overflowed) with capacity n_shards * bucket_cap."""
+    (keys, counts, overflowed) with capacity n_shards * bucket_cap.
+
+    Split points are SAMPLED from the deduped keys across all shards
+    (dist/occurrence._sampled_splits) instead of the uniform-CDF table —
+    skew-robust on GC-biased / repeat-heavy data (VERDICT round-1
+    item 5), and identical on every device (all_gathered sample)."""
+    from .occurrence import _sampled_splits
+
     w = len(ukeys)
     cap = ukeys[0].shape[0]
+    sent = tuple(jnp.full((1,), SENTINEL, jnp.uint32) for _ in range(w))
+    n_valid = searchsorted_words(ukeys, sent)[0]
+    splits = _sampled_splits(ukeys, n_valid, n_shards, gid_bits=0)
     # bucket boundaries: [0, ss(split_1), ..., ss(split_{D-1}), n_unique]
     bnds = [jnp.zeros((), jnp.int32)]
     for i in range(n_shards - 1):
-        q = tuple(jnp.full((), splits[i, wi], jnp.uint32) for wi in range(w))
-        bnds.append(searchsorted_words(ukeys, tuple(x[None] for x in q))[0])
-    sent = tuple(jnp.full((1,), SENTINEL, jnp.uint32) for _ in range(w))
-    bnds.append(searchsorted_words(ukeys, sent)[0])
+        q = tuple(splits[wi][i][None] for wi in range(w))
+        bnds.append(searchsorted_words(ukeys, q)[0])
+    bnds.append(n_valid)
     bounds = jnp.stack(bnds)  # [D+1]
 
     sizes = bounds[1:] - bounds[:-1]
@@ -142,12 +151,12 @@ def _partition_exchange(ukeys, ucounts, splits, bucket_cap, n_shards, cs):
     return mkeys, mcounts, overflow_any
 
 
-def _count_local(slab, k, cs, splits, bucket_cap, n_shards):
+def _count_local(slab, k, cs, bucket_cap, n_shards):
     codes = slab[0]
     keys, valid = extract_canonical(codes, k)
     ukeys, ucounts = _dedupe_local(keys, valid.astype(jnp.uint32), NO_SAT)
     mkeys, mcounts, overflow = _partition_exchange(
-        ukeys, ucounts, splits, bucket_cap, n_shards, cs
+        ukeys, ucounts, bucket_cap, n_shards, cs
     )
     return (
         tuple(kw[None] for kw in mkeys),
@@ -166,7 +175,6 @@ def _count_fn(mesh, k, cs, bucket_cap, n_shards):
                 _count_local,
                 k=k,
                 cs=cs,
-                splits=split_keys_for(k, n_shards),
                 bucket_cap=bucket_cap,
                 n_shards=n_shards,
             ),

@@ -87,3 +87,31 @@ def test_device_count_invariance(rng):
     for nd in (2, 8):
         mesh = make_mesh(devices=cpu_devices(nd))
         assert as_dict(sharded_count_codes(mesh, codes, 15)) == d1
+
+
+def test_sharded_count_skewed_no_retry(rng):
+    """The generic sharded count must balance shards on adversarially
+    skewed keys (~90% poly-A prefix) via sampled splits — the uniform-CDF
+    table would funnel nearly everything into shard 0 and trip the
+    overflow retry."""
+    from khoice_tpu.dist import sharded as sh
+
+    skew = "A" * 4000 + random_dna(rng, 500)
+    codes = encode_records([skew])
+    calls = []
+    orig = sh._count_fn
+
+    def counting(*a, **kw):
+        calls.append(a)
+        return orig(*a, **kw)
+
+    sh._count_fn = counting
+    try:
+        t = sh.sharded_count_codes(make_mesh(8, cpu_devices(8)), codes, 13)
+    finally:
+        sh._count_fn = orig
+    assert len(calls) == 1, "overflow retry triggered on skewed input"
+    # exactness unchanged
+    expect = oracle.count_kmers([skew], 13)
+    got = dict(t.dump())
+    assert got == {k: min(v, 255) for k, v in expect.items()}

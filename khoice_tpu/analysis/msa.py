@@ -187,9 +187,16 @@ def extract_sections(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    start = next(i for i in range(500, len(rolling)) if rolling[i] > threshold)
-    middle = next(i for i in range(3000, len(rolling)) if rolling[i] <= threshold)
-    end = next(i for i in range(5000, len(rolling)) if rolling[i] > threshold)
+    start = next((i for i in range(500, len(rolling)) if rolling[i] > threshold), None)
+    middle = next((i for i in range(3000, len(rolling)) if rolling[i] <= threshold), None)
+    end = next((i for i in range(5000, len(rolling)) if rolling[i] > threshold), None)
+    if start is None or middle is None or end is None:
+        missing = [n for n, v in (("start", start), ("middle", middle), ("end", end)) if v is None]
+        raise ValueError(
+            f"no entropy threshold crossing for {missing} (threshold={threshold}, "
+            f"rolling length={len(rolling)}); the MSA does not follow the "
+            "expected Enterovirus section structure"
+        )
 
     fig, ax = plt.subplots()
     ax.bar(range(1, len(rolling) + 1), rolling, width=1.0)

@@ -176,7 +176,10 @@ def plot_species_comparison(
                 per_k.setdefault(k, []).append(_f1(tp, tn, fp, fn))
     ks = sorted(per_k)
     mean = np.array([np.mean(per_k[k]) for k in ks])
-    sd = np.array([np.std(per_k[k]) for k in ks])
+    # sample sd (ddof=1) to match R's sd(); 0 for single-trial data
+    sd = np.array(
+        [np.std(per_k[k], ddof=1) if len(per_k[k]) > 1 else 0.0 for k in ks]
+    )
     fig, ax = plt.subplots(figsize=(6, 4))
     ax.plot(ks, mean, marker="o", ms=3)
     ax.fill_between(ks, mean - sd, mean + sd, alpha=0.3)
@@ -221,7 +224,10 @@ def plot_species_read_comparison(
             if not ks:
                 continue
             mean = np.array([np.mean(data[k]) for k in ks])
-            sd = np.array([np.std(data[k]) for k in ks])
+            # sample sd (ddof=1) to match R's sd(); 0 for single-trial data
+            sd = np.array(
+                [np.std(data[k], ddof=1) if len(data[k]) > 1 else 0.0 for k in ks]
+            )
             (line,) = ax.plot(ks, mean, style, marker="o", ms=3, label=label)
             ax.fill_between(ks, mean - sd, mean + sd, alpha=0.2,
                             color=line.get_color())

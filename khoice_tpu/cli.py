@@ -97,20 +97,29 @@ def cmd_run(args) -> int:
     # outputs are trial-keyed already; the other exp0-dependent experiments
     # write per-trial subroots so trials don't clobber each other (the
     # reference's per-trial WORK_ROOT convention).
-    if getattr(args, "trials", None) and args.trials > 1 and cfg.exp_type != 1:
-        base_root = cfg.work_root
-        rc = 0
-        for t in range(1, args.trials + 1):
-            cfg.curr_trial = t
-            cfg.work_root = (
-                base_root
-                if cfg.exp_type in (0, 6)
-                else os.path.join(base_root, f"trial_{t}_results")
+    if getattr(args, "trials", None) and args.trials > 1:
+        if cfg.exp_type == 1:
+            # exp1 has no trial axis (no pivot/read randomness); running it
+            # N times would just repeat identical work
+            log.warning(
+                "--trials=%d ignored for exp_type=1 (exp1 is deterministic "
+                "over genomes; the reference's trial axis only exists for "
+                "pivot/read experiments)", args.trials,
             )
-            log.info("=== trial %d/%d ===", t, args.trials)
-            rc |= _run_one(cfg, args, db, exp0_root=base_root)
-        cfg.work_root = base_root
-        return rc
+        else:
+            base_root = cfg.work_root
+            rc = 0
+            for t in range(1, args.trials + 1):
+                cfg.curr_trial = t
+                cfg.work_root = (
+                    base_root
+                    if cfg.exp_type in (0, 6)
+                    else os.path.join(base_root, f"trial_{t}_results")
+                )
+                log.info("=== trial %d/%d ===", t, args.trials)
+                rc = max(rc, _run_one(cfg, args, db, exp0_root=base_root))
+            cfg.work_root = base_root
+            return rc
     return _run_one(cfg, args, db, exp0_root=cfg.work_root)
 
 

@@ -24,6 +24,16 @@ def mesh8():
     return make_mesh(devices=cpu_devices(8))
 
 
+@pytest.fixture(autouse=True)
+def fresh_splits():
+    """Each test pins its own session split points (first table wins)."""
+    from khoice_tpu.dist.sharded import reset_session_splits
+
+    reset_session_splits()
+    yield
+    reset_session_splits()
+
+
 def as_dict(t):
     return {km: c for km, c in t.dump()}
 
@@ -87,6 +97,57 @@ def test_device_count_invariance(rng):
     for nd in (2, 8):
         mesh = make_mesh(devices=cpu_devices(nd))
         assert as_dict(sharded_count_codes(mesh, codes, 15)) == d1
+
+
+def test_sharded_union_disjoint_distributions(rng):
+    """Tables built from very different key distributions (GC-rich vs
+    AT-rich vs shared core) must still union correctly — the round-2
+    regression sharded each table by ITS OWN sampled splits, so shared
+    keys never co-located and union counts came out 1 instead of 3."""
+    mesh = mesh8()
+    k = 13
+    core = random_dna(rng, 250)
+    gc = "".join(rng.choice(list("GC")) for _ in range(800)) + core
+    at = "".join(rng.choice(list("AT")) for _ in range(800)) + core
+    mixed = core + random_dna(rng, 600)
+    seqs = [gc, at, mixed]
+
+    ts = [
+        sharded_set_counts(sharded_count_codes(mesh, encode_records([s]), k), 1)
+        for s in seqs
+    ]
+    # all in-session tables must share the pinned partition
+    assert all(np.array_equal(ts[0].splits, t.splits) for t in ts[1:])
+    u = sharded_union_many(ts, cs=5000)
+    expect = oracle.union_sum(
+        [oracle.set_counts(oracle.count_kmers([s], k), 1) for s in seqs], cs=5000
+    )
+    assert as_dict(u) == expect
+    # core k-mers appear in all three tables
+    assert max(expect.values()) == 3 and max(as_dict(u).values()) == 3
+
+
+def test_resplit_foreign_partition(rng):
+    """A table re-partitioned onto foreign splits (session-boundary case)
+    still dumps identically and combines correctly."""
+    from khoice_tpu.dist.sharded import reset_session_splits, resplit
+
+    mesh = mesh8()
+    k = 11
+    a_seq = random_dna(rng, 900)
+    b_seq = a_seq[:400] + random_dna(rng, 500)
+    ta = sharded_count_codes(mesh, encode_records([a_seq]), k)
+    reset_session_splits()  # simulate a different session for table b
+    tb = sharded_count_codes(mesh, encode_records([b_seq]), k)
+    assert not np.array_equal(ta.splits, tb.splits)
+
+    tb2 = resplit(tb, ta.splits)
+    assert as_dict(tb2) == as_dict(tb)
+
+    inter = sharded_intersect_sum(ta, tb)  # auto-resplits b
+    assert as_dict(inter) == oracle.intersect_sum(
+        oracle.count_kmers([a_seq], k), oracle.count_kmers([b_seq], k)
+    )
 
 
 def test_sharded_count_skewed_no_retry(rng):

@@ -49,6 +49,28 @@ import numpy as np
 GID_BITS = 8  # gids in the payload word; n_members <= 32 for the mask scan
 NIO_BITS = 8
 
+# Packed-payload mode: when the key words' spare low bits can hold the
+# payload, the sort drops the separate payload operand entirely — for the
+# reference's full k grid (kmax=49, KW=4, 30 spare bits) ONE 4-operand
+# doubled-text sort serves all 30 ks, vs 3-operand (k<=30) + 4-operand
+# (33<k<=46) + per-k (k=49) sorts before.  gid rides in 5 bits (the mask
+# scan requires n_members <= 32 anyway) and nio in 6 (kmax <= 63).  The
+# payload must stay clear of every per-k comparison: _key_new_mask reads
+# bits >= spare, and in _rev2comp_words the payload's low 2-bit groups land
+# in the top bits of rev, above the 2k bits _pal_mask inspects — hence the
+# spare >= PACK_MIN_SPARE (group-aligned 12) requirement.
+PACK_GID_BITS = 5
+PACK_NIO_BITS = 6
+PACK_MIN_SPARE = 12
+
+
+def _pack_spare(kmax: int, KW: int) -> int:
+    return KW * 32 - 2 * kmax
+
+
+def can_pack_payload(kmax: int, KW: int) -> bool:
+    return _pack_spare(kmax, KW) >= PACK_MIN_SPARE
+
 
 def sweep_classes(ks: Sequence[int]) -> List[tuple]:
     """Partition a k grid into shared-sort classes [(kmax, KW, ks), ...].
@@ -105,9 +127,14 @@ def _rev2comp_words(words: tuple) -> tuple:
     return tuple(out)
 
 
-def _extract_fwd_sweep(codes2, gids2, kmax: int, KW: int):
+def _extract_fwd_sweep(codes2, gids2, kmax: int, KW: int, packed: bool = False):
     """Forward kmax-mer keys (A-padded past the first invalid base,
-    left-aligned in KW uint32 words) + payload word (gid << 8 | nio)."""
+    left-aligned in KW uint32 words) + payload (gid, nio).
+
+    packed=False: payload is a separate word (gid << 8 | nio).
+    packed=True: payload rides in the spare low bits of the last key word
+    ((gid << 6) | nio, requires can_pack_payload(kmax, KW)); returns
+    (fwd, None)."""
     n = codes2.shape[0]
     cp = jnp.concatenate([codes2, jnp.full((kmax,), 4, codes2.dtype)])
     fwd = tuple(jnp.zeros((n,), jnp.uint32) for _ in range(KW))
@@ -124,6 +151,11 @@ def _extract_fwd_sweep(codes2, gids2, kmax: int, KW: int):
         fwd = tuple(nf)
         nio = nio + alive.astype(jnp.uint32)
     fwd = _shl_words(fwd, KW * 32 - 2 * kmax)
+    if packed:
+        assert can_pack_payload(kmax, KW)
+        pay = (gids2 << PACK_NIO_BITS) | nio
+        fwd = fwd[:-1] + (fwd[-1] | pay,)
+        return fwd, None
     payload = (gids2 << NIO_BITS) | nio
     return fwd, payload
 
@@ -184,17 +216,27 @@ def _seg_or_scan(m, boundary):
     return out
 
 
-def _scan_multi_k_xla(skeys, spayload, ks, kmax, KW, n_members, cs):
+def _scan_multi_k_xla(
+    skeys, spayload, ks, kmax, KW, n_members, cs, packed=False, raw=False
+):
     """XLA fallback of the multi-k occurrence scan (exact; CPU-friendly).
 
     Returns (n_ks, n_members) int32: canonical histograms, bin b-1 =
-    #classes present in exactly b members.
+    #classes present in exactly b members. raw=True instead returns the
+    (2, n_ks, n_members) stacked (doubled, palindromic) histograms WITHOUT
+    the (d+p)//2 canonical combine — required by the sharded sweep, where
+    a class's two strand runs can land in different shards and the
+    halving is only exact after the cross-shard psum.
     """
     prev = tuple(jnp.roll(w, 1) for w in skeys)
-    gid = (spayload >> NIO_BITS) & jnp.uint32(0xFF)
-    nio = spayload & jnp.uint32((1 << NIO_BITS) - 1)
+    if packed:
+        gid = (skeys[-1] >> PACK_NIO_BITS) & jnp.uint32((1 << PACK_GID_BITS) - 1)
+        nio = skeys[-1] & jnp.uint32((1 << PACK_NIO_BITS) - 1)
+    else:
+        gid = (spayload >> NIO_BITS) & jnp.uint32(0xFF)
+        nio = spayload & jnp.uint32((1 << NIO_BITS) - 1)
     rev = _rev2comp_words(skeys)
-    hists = []
+    hists_d, hists_p = [], []
     for k in ks:
         key_new = _key_new_mask(skeys, prev, k, KW).at[0].set(True)
         m = jnp.where(nio >= k, jnp.uint32(1) << gid, jnp.uint32(0))
@@ -217,26 +259,37 @@ def _scan_multi_k_xla(skeys, spayload, ks, kmax, KW, n_members, cs):
             hist_p = jnp.stack(bins_p)
         else:
             hist_p = jnp.zeros((n_members,), jnp.int32)
-        hists.append((hist_d + hist_p) // 2)
-    return jnp.stack(hists)
+        hists_d.append(hist_d)
+        hists_p.append(hist_p)
+    if raw:
+        return jnp.stack([jnp.stack(hists_d), jnp.stack(hists_p)])
+    return jnp.stack([(d + p) // 2 for d, p in zip(hists_d, hists_p)])
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
-def _sweep_class_fn(codes, gids, ks, kmax, KW, n_members, cs, use_pallas):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _sweep_class_fn(codes, gids, ks, kmax, KW, n_members, cs, use_pallas, packed=False):
     """All of `ks`'s canonical occurrence histograms from one doubled-text
     sort. codes: uint8 [n] (packed members, code 4 separators), gids:
-    uint32 [n]. Returns (len(ks), n_members) int32."""
+    uint32 [n]. packed=True drops the payload operand from the sort (gid +
+    nio ride the last key word's spare bits). Returns
+    (len(ks), n_members) int32."""
     rc = jnp.where(codes < 4, codes ^ 3, codes)[::-1]
     codes2 = jnp.concatenate([codes, rc])
     gids2 = jnp.concatenate([gids, gids[::-1]])
-    fwd, payload = _extract_fwd_sweep(codes2, gids2, kmax, KW)
-    ops = jax.lax.sort(list(fwd) + [payload], num_keys=KW, is_stable=False)
-    skeys, spay = tuple(ops[:KW]), ops[KW]
+    fwd, payload = _extract_fwd_sweep(codes2, gids2, kmax, KW, packed=packed)
+    if packed:
+        skeys = tuple(jax.lax.sort(list(fwd), num_keys=KW, is_stable=False))
+        spay = None
+    else:
+        ops = jax.lax.sort(list(fwd) + [payload], num_keys=KW, is_stable=False)
+        skeys, spay = tuple(ops[:KW]), ops[KW]
     if use_pallas:
         from ..kernels.ksweep_scan_pallas import scan_multi_k_pallas
 
-        return scan_multi_k_pallas(skeys, spay, ks, kmax, KW, n_members, cs)
-    return _scan_multi_k_xla(skeys, spay, ks, kmax, KW, n_members, cs)
+        return scan_multi_k_pallas(
+            skeys, spay, ks, kmax, KW, n_members, cs, packed=packed
+        )
+    return _scan_multi_k_xla(skeys, spay, ks, kmax, KW, n_members, cs, packed=packed)
 
 
 def _sweep_pallas_ok(n2: int, n_members: int) -> bool:
@@ -244,6 +297,53 @@ def _sweep_pallas_ok(n2: int, n_members: int) -> bool:
     from .occurrence import compute_on_tpu
 
     return n2 % TILE == 0 and compute_on_tpu()
+
+
+def plan_sweep(ks: Sequence[int], n_members: int):
+    """Choose the sort plan: ([(kmax, KW, cks, packed)], per_k_fallback_ks).
+
+    Candidate plans, costed in sorted-words-per-text-position (doubled
+    text counts x2):
+
+    - SPLIT: one sort per key-word class with >= 3 ks (sweep_classes),
+      each packing its payload into spare key bits when they fit; classes
+      with < 3 ks fall back to the per-k fused path (its sort moves
+      occ_words_static(k) words over the UNdoubled text).
+    - MASTER: one sort at kmax = max(ks) serving EVERY k — the k-run
+      nesting holds for any k <= kmax, so the scan just reads shallower
+      prefixes.  For the reference's full 30-point grid this is one
+      4-operand packed sort vs 3+4-operand class sorts plus a per-k k=49
+      fallback (8 vs 18 sorted words per position).
+
+    The cheaper plan wins; n_members > 32 disables the sweep entirely
+    (gid one-hot masks need <= 32 bits).
+    """
+    from .occurrence import occ_words_static
+
+    ks = sorted(set(int(k) for k in ks))
+    if n_members > 32 or len(ks) < 3:
+        return [], ks
+
+    split_classes = []
+    split_rest: List[int] = []
+    split_cost = 0.0
+    for kmax, KW, cks in sweep_classes(ks):
+        if len(cks) < 3:
+            split_rest.extend(cks)
+            split_cost += sum(occ_words_static(k) for k in cks)
+        else:
+            packed = can_pack_payload(kmax, KW)
+            split_classes.append((kmax, KW, cks, packed))
+            split_cost += 2 * (KW if packed else KW + 1)
+
+    kmax_m = max(ks)
+    KW_m = (2 * kmax_m + 31) // 32
+    packed_m = can_pack_payload(kmax_m, KW_m)
+    master_cost = 2 * (KW_m if packed_m else KW_m + 1)
+
+    if master_cost < split_cost:
+        return [(kmax_m, KW_m, tuple(ks), packed_m)], []
+    return split_classes, split_rest
 
 
 def occurrence_histograms_sweep_packed(
@@ -256,20 +356,17 @@ def occurrence_histograms_sweep_packed(
     """{k: exp1 occurrence histogram (list of cx ints)} for every k in `ks`
     over pre-packed (codes, gids) device arrays (see occurrence.pack_members).
 
-    Uses the shared-sort sweep for word classes with >= 3 ks (where one
-    doubled-text sort beats per-k sorts) and n_members <= 32; other ks fall
+    Runs the plan from plan_sweep (master or per-class shared sorts,
+    payload packed into spare key bits when possible); leftover ks fall
     back to the per-k fused path. Bit-identical to occurrence_histogram.
     """
     from .occurrence import occurrence_histogram_packed
 
     codes, gids = packed
     out: Dict[int, List[int]] = {}
-    remaining: List[int] = []
     n2 = 2 * int(codes.shape[0])
-    for kmax, KW, cks in sweep_classes(ks):
-        if len(cks) < 3 or n_members > 32:
-            remaining.extend(cks)
-            continue
+    classes, remaining = plan_sweep(ks, n_members)
+    for kmax, KW, cks, pay_packed in classes:
         use_pallas = _sweep_pallas_ok(n2, n_members)
         hists = np.asarray(
             _sweep_class_fn(
@@ -281,6 +378,7 @@ def occurrence_histograms_sweep_packed(
                 n_members,
                 cs,
                 use_pallas,
+                pay_packed,
             )
         )
         for i, k in enumerate(cks):

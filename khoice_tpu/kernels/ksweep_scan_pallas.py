@@ -103,18 +103,18 @@ def _pal_vec(cur, rev, k, KW):
     return eq
 
 
-def _kernel(*refs, ks, kmax, KW, G, cs, bits):
-    # refs: key words [KW], payload, out (2*n_ks, BINS_PAD) [hist_d rows,
-    #        then hist_pal rows], carry SMEM [KW + n_channels + 1],
-    #        cum VMEM (2*n_ks, BINS_PAD)
+def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed):
+    # refs: key words [KW], payload (absent when packed), out
+    #        (2*n_ks, BINS_PAD) [hist_d rows, then hist_pal rows], carry
+    #        SMEM [KW + n_channels + 1], cum VMEM (2*n_ks, BINS_PAD)
     n_ks = len(ks)
     per_word = 32 // bits
     n_ch = -(-n_ks // per_word)
     keys_ref = refs[:KW]
-    pay_ref = refs[KW]
-    out_ref = refs[KW + 1]
-    carry = refs[KW + 2]  # [0:KW] prev key, [KW:KW+n_ch] or, [KW+n_ch] pal bits
-    cum = refs[KW + 3]
+    off = KW if packed else KW + 1
+    out_ref = refs[off]
+    carry = refs[off + 1]  # [0:KW] prev key, [KW:KW+n_ch] or, [KW+n_ch] pal bits
+    cum = refs[off + 2]
     i = pl.program_id(0)
     n_prog = pl.num_programs(0)
     subfield_max = jnp.uint32((1 << bits) - 1)
@@ -129,9 +129,15 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits):
         cum[:] = jnp.zeros((2 * n_ks, BINS_PAD), jnp.int32)
 
     cur = [keys_ref[wi][:] for wi in range(KW)]
-    pay = pay_ref[:]
-    gid = (pay >> 8) & jnp.uint32(0xFF)
-    nio = pay & jnp.uint32(0xFF)
+    if packed:
+        # payload rides the last key word's spare low bits (engine/ksweep
+        # PACK_GID_BITS/PACK_NIO_BITS layout: gid << 6 | nio)
+        gid = (cur[KW - 1] >> 6) & jnp.uint32(0x1F)
+        nio = cur[KW - 1] & jnp.uint32(0x3F)
+    else:
+        pay = refs[KW][:]
+        gid = (pay >> 8) & jnp.uint32(0xFF)
+        nio = pay & jnp.uint32(0xFF)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, cur[0].shape, 1)
     first = lane == 0
@@ -237,21 +243,23 @@ def _mask_bits(G: int) -> int:
     return 8 if G <= 8 else 16 if G <= 16 else 32
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
-def _scan_chunk(skeys, spay, ks, kmax, KW, G, cs, interpret=False):
-    n = spay.shape[0]
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _scan_chunk(skeys, spay, ks, kmax, KW, G, cs, interpret=False, packed=False):
+    n = skeys[0].shape[0]
     assert n % TILE == 0, f"length {n} not a multiple of {TILE}"
     n_ks = len(ks)
     bits = _mask_bits(G)
     n_ch = -(-n_ks // (32 // bits))
-    ins = [w.reshape(1, n) for w in skeys] + [spay.reshape(1, n)]
+    ins = [w.reshape(1, n) for w in skeys]
+    if not packed:
+        ins.append(spay.reshape(1, n))
     in_specs = [
         pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
-        for _ in range(KW + 1)
+        for _ in range(len(ins))
     ]
     out = pl.pallas_call(
         functools.partial(
-            _kernel, ks=ks, kmax=kmax, KW=KW, G=G, cs=cs, bits=bits
+            _kernel, ks=ks, kmax=kmax, KW=KW, G=G, cs=cs, bits=bits, packed=packed
         ),
         grid=(n // TILE,),
         in_specs=in_specs,
@@ -268,18 +276,22 @@ def _scan_chunk(skeys, spay, ks, kmax, KW, G, cs, interpret=False):
     return out.reshape(2, n_ks, BINS_PAD)
 
 
-def scan_multi_k_pallas(skeys, spay, ks, kmax, KW, n_members, cs, interpret=False):
+def scan_multi_k_pallas(
+    skeys, spay, ks, kmax, KW, n_members, cs, interpret=False, packed=False
+):
     """Canonical histograms (len(ks), n_members) from the shared sort.
 
     ks are processed in chunks of MAX_KS_PER_CALL (bounding VMEM and compile
     size); the sorted arrays are re-read per chunk (cheap, bandwidth-bound).
+    packed=True reads gid/nio from the last key word's spare bits (spay
+    unused, may be None).
     """
     chunks = [
         tuple(ks[i : i + MAX_KS_PER_CALL])
         for i in range(0, len(ks), MAX_KS_PER_CALL)
     ]
     outs = [
-        _scan_chunk(skeys, spay, chunk, kmax, KW, n_members, cs, interpret)
+        _scan_chunk(skeys, spay, chunk, kmax, KW, n_members, cs, interpret, packed)
         for chunk in chunks
     ]
     dp = jnp.concatenate(outs, axis=1)  # (2, n_ks, BINS_PAD)

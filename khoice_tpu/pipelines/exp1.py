@@ -84,13 +84,14 @@ def run_exp1(
         import numpy as np
 
         if mesh is not None:
-            from functools import partial as _partial
+            # SPMD shared-sort sweep: the whole k grid per group in one
+            # sharded program per key-word class (dist/ksweep.py)
+            from ..dist.ksweep import sharded_occurrence_histograms_sweep
 
-            from ..dist.occurrence import sharded_occurrence_histogram
-
-            within_hist = {
-                num: lambda k, num=num: sharded_occurrence_histogram(
-                    mesh, codes[num], k, cs=union_cs, cx=hist_cx
+            ks_list = [int(k) for k in k_values]
+            within_all = {
+                num: sharded_occurrence_histograms_sweep(
+                    mesh, codes[num], ks_list, cs=union_cs, cx=hist_cx
                 )
                 for num in group_nums
             }
@@ -100,9 +101,14 @@ def run_exp1(
                 )
                 for num in group_nums
             ]
-            across_hist = lambda k: sharded_occurrence_histogram(
-                mesh, group_concat, k, cs=union_cs, cx=hist_cx
+            across_all = sharded_occurrence_histograms_sweep(
+                mesh, group_concat, ks_list, cs=union_cs, cx=hist_cx
             )
+            within_hist = {
+                num: lambda k, num=num: within_all[num][int(k)]
+                for num in group_nums
+            }
+            across_hist = lambda k: across_all[int(k)]
         else:
             from ..engine.ksweep import occurrence_histograms_sweep_packed
             from ..engine.occurrence import pack_members_device

@@ -133,6 +133,80 @@ def test_read_votes_match_oracle(rng):
         assert nk[r] == len(read) - k + 1
 
 
+def oracle_exp6_trial_csv(pivot_reads, rest, ks, out_path, seed=0, trial=1):
+    """Independent dict-based build of the exp6 trial accuracy CSV —
+    identical voting (LCM integers), identical seeded tie-break stream,
+    identical glob-lexicographic k concatenation order."""
+    nums = sorted(rest)
+    d = len(nums)
+    lcm = vote_lcm(d)
+    per_k_lines = {}
+    for k in ks:
+        ogs = oracle_group_sets(rest, k)
+        cm = []
+        for num in nums:
+            votes_rows = []
+            for read in pivot_reads[num]:
+                v = np.zeros(d, np.int64)
+                for i in range(len(read) - k + 1):
+                    window = read[i : i + k]
+                    if not set(window) <= set("ACGT"):
+                        continue
+                    km = oracle.canonical(window)
+                    matches = [j for j, nn in enumerate(nums) if km in ogs[nn]]
+                    for m in matches:
+                        v[m] += lcm // len(matches)
+                votes_rows.append(v)
+            trng = np.random.default_rng([seed, trial, k, num])
+            row = [0] * (d + 1)
+            for v in votes_rows:
+                mx = v.max()
+                idxs = np.nonzero(v == mx)[0]
+                c = int(idxs[trng.integers(0, len(idxs))]) if len(idxs) > 1 else int(idxs[0])
+                row[c] += 1
+            cm.append(row)
+        # one-vs-rest accuracy rows, regular == ucol for read-level voting
+        lines = []
+        for pivot in range(d):
+            tp = cm[pivot][pivot]
+            fp = fn = tn = 0
+            for r in range(d):
+                for c in range(d + 1):
+                    cur = cm[r][c]
+                    if c == pivot and r != pivot:
+                        fp += cur
+                    elif r == pivot and c != pivot:
+                        fn += cur
+                    elif r != pivot:
+                        tn += cur
+            vals = [str(k), str(pivot), str(tp), str(tn), str(fp), str(fn)]
+            lines.append(",".join(vals + vals[2:]))
+        per_k_lines[str(k)] = lines
+    with open(out_path, "w") as fd:
+        fd.write("k,pivotnum,TP,TN,FP,FN,TP-U,TN-U,FP-U,FN-U\n")
+        for ks_str in sorted(per_k_lines):  # shell-glob (lexicographic) order
+            fd.write("\n".join(per_k_lines[ks_str]) + "\n")
+    return out_path
+
+
+def test_exp6_trial_csv_byte_exact(rng, tmp_path):
+    """Whole-file byte equality of the exp6 trial accuracy CSV vs an
+    oracle build, ks spanning 1/2/3-word widths AND exercising the
+    lexicographic concat order (7 sorts after 11/21/33)."""
+    pivots, rest = make_world(rng)
+    reads = {
+        num: [pivots[num][0][i : i + 60] for i in range(0, 240, 20)]
+        + [random_dna(rng, 60) for _ in range(4)]
+        for num in rest
+    }
+    ks = [7, 11, 21, 33]
+    got = run_exp6(reads, rest, ks, str(tmp_path), read_type="illumina")
+    want = oracle_exp6_trial_csv(
+        reads, rest, ks, str(tmp_path / "oracle_trial.csv")
+    )
+    assert open(got, "rb").read() == open(want, "rb").read()
+
+
 def test_exp4_exp6_end_to_end(rng, tmp_path):
     pivots, rest = make_world(rng)
     ks = [7, 9]

@@ -58,35 +58,69 @@ def oracle_exp2_metrics(pivots, rest, k, num, nums):
     )
 
 
-def test_exp2_matches_oracle(rng, tmp_path):
-    db = make_world(rng)
-    pivots = {num: db[num]["genome_%d_0" % num] for num in db}
-    rest = {num: [db[num][f"genome_{num}_{g}"] for g in (1, 2)] for num in db}
-    ks = [7, 11]
-    out = run_exp2(pivots, rest, ks, str(tmp_path))
+def oracle_exp2_csvs(pivots, rest, ks, out_dir):
+    """Full oracle build of both exp2 CSVs (dataset-major rows, k inner,
+    per-group max normalization) for whole-file byte comparison."""
+    from khoice_tpu.pipelines.exp2 import ACROSS_HEADER, WITHIN_HEADER
+    from khoice_tpu.reports.csvio import write_csv_rows
 
     nums = sorted(rest)
-    rows = []
+    within_rows, across_rows = [], []
     for num in nums:
         for k in ks:
             sub_h, int_h = oracle_exp2_metrics(pivots, rest, k, num, nums)
-            rows.append(
+            within_rows.append(
                 [f"group_{num}", str(k)]
                 + summarize_histogram_type2(sub_h, int_h, len(rest[num]), False, k)
             )
-    for gid in [f"group_{n}" for n in nums]:
-        mx = max(r[8] for r in rows if r[0] == gid)
-        for r in rows:
-            if r[0] == gid:
-                r.append(round(r[8] / mx, 4))
+            pivot_set = oracle.set_counts(oracle.count_kmers(pivots[num], k), 1)
+            others = [
+                oracle.set_counts(
+                    oracle.union_sum(
+                        [oracle.set_counts(oracle.count_kmers(g, k), 1) for g in rest[j]],
+                        cs=5000,
+                    ),
+                    1,
+                )
+                for j in nums
+                if j != num
+            ]
+            au = oracle.union_sum(others, cs=5000)
+            asub = oracle.histogram(oracle.subtract(pivot_set, au), cx=10000)
+            ainter = oracle.histogram(oracle.intersect_sum(pivot_set, au), cx=10000)
+            across_rows.append(
+                [f"group_{num}", str(k)]
+                + summarize_histogram_type2(asub, ainter, len(nums), True, k)
+            )
+    for rows in (within_rows, across_rows):
+        for gid in [f"group_{n}" for n in nums]:
+            mx = max(r[8] for r in rows if r[0] == gid)
+            for r in rows:
+                if r[0] == gid:
+                    r.append(round(r[8] / mx, 4))
+    wpath = os.path.join(out_dir, "within.csv")
+    apath = os.path.join(out_dir, "across.csv")
+    write_csv_rows(wpath, WITHIN_HEADER, within_rows)
+    write_csv_rows(apath, ACROSS_HEADER, across_rows)
+    return wpath, apath
 
-    got = open(out["within"]).read().strip().split("\n")[1:]
-    want = [",".join(str(x) for x in r) for r in rows]
-    assert got == want
 
-    across = open(out["across"]).read().strip().split("\n")
-    assert across[0].startswith("group_num,k,percent_1_occ,percent_2_to_3")
-    assert len(across) == 1 + len(ks) * len(nums)
+def test_exp2_matches_oracle_byte_exact(rng, tmp_path):
+    """Whole-file byte equality of BOTH exp2 CSVs vs oracle-built files,
+    ks spanning 1/2/3-word key widths (row order included)."""
+    db = make_world(rng)
+    pivots = {num: db[num]["genome_%d_0" % num] for num in db}
+    rest = {num: [db[num][f"genome_{num}_{g}"] for g in (1, 2)] for num in db}
+    ks = [7, 11, 21, 33]
+    out = run_exp2(pivots, rest, ks, str(tmp_path / "engine"))
+    (tmp_path / "oracle").mkdir()
+    g_within, g_across = oracle_exp2_csvs(pivots, rest, ks, str(tmp_path / "oracle"))
+
+    assert open(out["within"], "rb").read() == open(g_within, "rb").read()
+    assert open(out["across"], "rb").read() == open(g_across, "rb").read()
+    lines = open(out["across"]).read().strip().split("\n")
+    assert lines[0].startswith("group_num,k,percent_1_occ,percent_2_to_3")
+    assert len(lines) == 1 + len(ks) * len(rest)
 
 
 def test_exp3_containment(rng, tmp_path):

@@ -39,6 +39,63 @@ def test_sweep_classes_partition():
     assert sweep_classes([7, 9])[0][:2] == (9, 1)
 
 
+def test_plan_sweep_master_for_reference_grid():
+    from khoice_tpu.engine.ksweep import plan_sweep
+
+    grid = list(range(7, 31)) + [34, 37, 40, 43, 46, 49]
+    classes, remaining = plan_sweep(grid, 8)
+    # one 4-operand packed master sort serves the whole grid (8 sorted
+    # words/position vs 18 for split classes + per-k k=49 fallback)
+    assert remaining == []
+    assert len(classes) == 1
+    kmax, KW, cks, packed = classes[0]
+    assert (kmax, KW, packed) is not None
+    assert kmax == 49 and KW == 4 and packed is True
+    assert sorted(cks) == sorted(grid)
+    # small grids keep the cheaper narrow class
+    classes, remaining = plan_sweep([7, 9, 12, 20, 30], 8)
+    assert len(classes) == 1 and classes[0][1] == 2
+    # >32 members disables the sweep
+    assert plan_sweep(grid, 33) == ([], sorted(set(grid)))
+
+
+def test_sweep_master_class_matches_fused(rng):
+    """ks spanning every key-word class through ONE packed master sort."""
+    base = random_dna(rng, 1200)
+    members = []
+    for i in range(6):
+        seq = list(base)
+        for _ in range(60 * (i + 1)):
+            seq[rng.randrange(len(base))] = "ACGT"[rng.randrange(4)]
+        members.append("".join(seq) + ("N" + random_dna(rng, 50) if i % 2 else ""))
+    ks = [7, 12, 21, 31, 33, 45, 49]
+    from khoice_tpu.engine.ksweep import plan_sweep
+
+    classes, remaining = plan_sweep(ks, len(members))
+    assert remaining == [] and len(classes) == 1 and classes[0][3] is True
+    _check_vs_fused(members, ks)
+
+
+def test_sweep_packed_payload_even_k_palindromes(rng):
+    """Packed payload must not leak into palindrome detection (the payload
+    lands in rev's top bits, above the 2k window) — even ks stress it."""
+    pal = "ACGCGT" * 60
+    members = [pal + random_dna(rng, 400), "A" * 300 + pal, random_dna(rng, 500)]
+    ks = [8, 10, 14, 22, 34, 40, 46, 48]  # kmax=48 -> KW=3, spare=0: unpacked master
+    from khoice_tpu.engine.ksweep import plan_sweep
+
+    classes, _ = plan_sweep(ks, len(members))
+    assert classes and not any(c[3] for c in classes)
+    _check_vs_fused(members, ks)
+
+    ks = [8, 10, 14, 22, 34, 40, 46, 49]  # kmax=49 -> KW=4, spare=30: packed
+    from khoice_tpu.engine.ksweep import plan_sweep
+
+    classes, _ = plan_sweep(ks, len(members))
+    assert any(c[3] for c in classes), "expected a packed class"
+    _check_vs_fused(members, ks)
+
+
 def test_sweep_matches_fused_random(rng):
     base = random_dna(rng, 3000)
     members = []
@@ -105,6 +162,56 @@ def test_sweep_fallback_large_groups(rng):
     # >32 members falls back to the per-k path but must stay correct
     members = [random_dna(rng, 120) for _ in range(34)]
     _check_vs_fused(members, [9, 11, 13])
+
+
+def test_sweep_pallas_kernel_interpret_packed(rng):
+    """Packed-payload master class through the Pallas kernel (interpret)."""
+    from khoice_tpu.engine.ksweep import (
+        _extract_fwd_sweep,
+        _scan_multi_k_xla,
+        can_pack_payload,
+    )
+    from khoice_tpu.kernels.ksweep_scan_pallas import TILE, scan_multi_k_pallas
+
+    g = 5
+    ks = (8, 21, 34, 40, 49)
+    kmax, KW = 49, 4
+    assert can_pack_payload(kmax, KW)
+    base = random_dna(rng, 1500)
+    members = []
+    for i in range(g):
+        seq = list(base)
+        for _ in range(80):
+            seq[rng.randrange(len(base))] = "ACGT"[rng.randrange(4)]
+        members.append("".join(seq) + ("N" + random_dna(rng, 30) if i % 2 else ""))
+    codes, gids = pack_members(_member_codes(members))
+    half = TILE // 2
+    target = ((codes.shape[0] + half - 1) // half) * half
+    pad = target - codes.shape[0]
+    codes = np.concatenate([codes, np.full(pad, 4, np.uint8)])
+    gids = np.concatenate([gids, np.zeros(pad, np.uint32)])
+
+    cj = jnp.asarray(codes)
+    rc = jnp.where(cj < 4, cj ^ 3, cj)[::-1]
+    codes2 = jnp.concatenate([cj, rc])
+    gj = jnp.asarray(gids)
+    gids2 = jnp.concatenate([gj, gj[::-1]])
+    fwd, pay = _extract_fwd_sweep(codes2, gids2, kmax, KW, packed=True)
+    assert pay is None
+    skeys = tuple(jax.lax.sort(list(fwd), num_keys=KW, is_stable=False))
+
+    want = np.asarray(
+        _scan_multi_k_xla(skeys, None, ks, kmax, KW, g, 5000, packed=True)
+    )
+    got = np.asarray(
+        scan_multi_k_pallas(
+            skeys, None, ks, kmax, KW, g, 5000, interpret=True, packed=True
+        )
+    )
+    assert got.tolist() == want.tolist()
+    for i, k in enumerate(ks):
+        fused = occurrence_histogram(_member_codes(members), k, cx=g)
+        assert want[i].tolist() == fused
 
 
 @pytest.mark.parametrize(

@@ -111,7 +111,12 @@ def test_exp1_sharded_csvs_match(rng, tmp_path):
         1: [[m] for m in make_members(rng, g=2)],
         2: [[m] for m in make_members(rng, g=3)],
     }
-    ks = [7, 11]
+    # 4 ks -> the SPMD shared-sort sweep path (dist/ksweep.py); a 2-k grid
+    # would fall back to the per-k sharded program
+    ks = [7, 11, 15, 21]
+    from khoice_tpu.engine.ksweep import plan_sweep
+
+    assert plan_sweep(ks, 3)[0], "k grid should take the sweep path"
     out_single = run_exp1(groups, ks, str(tmp_path / "single"))
     mesh = make_mesh(devices=cpu_devices(8))
     out_sharded = run_exp1(groups, ks, str(tmp_path / "sharded"), mesh=mesh)

@@ -6,6 +6,8 @@ from .pykmc import (
     intersect_sum,
     subtract,
     histogram,
+    revcomp,
+    sorted_dump,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "intersect_sum",
     "subtract",
     "histogram",
+    "revcomp",
+    "sorted_dump",
 ]

@@ -72,7 +72,12 @@ def run_exp0(
             if read_type == "illumina":
                 raw = sim_illumina(pivot_seqs, rrng)
             else:
-                raw = sim_ont(pivot_seqs, rrng)
+                # PBSIM_MODEL (config/config.yaml:11) selects the quality
+                # HMM; empty -> accuracy-calibrated default
+                raw = sim_ont(
+                    pivot_seqs, rrng,
+                    model_file=cfg.pbsim_model or None,
+                )
             subset = subset_reads_kmers(raw, rrng, cfg.kmers_per_dataset, 31)
             reads_out[(num, read_type)] = subset
             rdir = os.path.join(troot, f"exp0_pivot_reads/dataset_{num}/{read_type}")

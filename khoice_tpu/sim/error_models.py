@@ -1,0 +1,191 @@
+"""Read-simulator error models: quality-HMM (pbsim role) + positional
+profiles (ART role).
+
+The reference simulates reads with two external C++ tools
+(workflow/rules/prepare_data.smk:81,97-98):
+
+- `art_illumina -ss HS25 -l 150`: Illumina reads whose substitution rate
+  follows an empirical PER-POSITION quality profile (errors rise toward
+  the read's 3' end).
+- `pbsim --hmm_model R95.model --accuracy-mean 0.95`: ONT reads whose
+  per-base qualities come from an HMM (config/config.yaml:11), giving the
+  BURSTY error structure real nanopore reads have; error types follow
+  pbsim2's sub:ins:del difference ratio (23:31:46 by default).
+
+This module reproduces both structures natively and seedably:
+
+- IlluminaProfile: per-position substitution probability ramp.
+- QualityHmm: Markov chain over states, each emitting Phred qualities;
+  error probability per base = 10^(-q/10); types drawn by the difference
+  ratio. `from_pbsim_file` parses an on-disk model (whitespace floats:
+  n_states, n_states^2 transitions, n_states x 94 emissions — the
+  documented contract here; a file that doesn't match raises with the
+  expectation spelled out), `from_accuracy` builds a 2-state bursty model
+  calibrated so the stationary mean error equals 1-accuracy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import numpy as np
+
+MAX_Q = 94  # Phred quality alphabet 0..93 (Sanger '!'..'~')
+
+# pbsim2's default sub:ins:del difference ratio for R9.5 chemistry
+DEFAULT_DIFFERENCE_RATIO = (23, 31, 46)
+
+
+@dataclasses.dataclass
+class IlluminaProfile:
+    """Per-position substitution probabilities (ART quality-profile role)."""
+
+    pos_error: np.ndarray  # [read_len] float64
+
+    @classmethod
+    def hs25_like(cls, read_len: int = 150, mean_rate: float = 0.0015,
+                  end_factor: float = 6.0) -> "IlluminaProfile":
+        """HS25-shaped ramp: flat near the 5' start, rising ~end_factor x
+        by the 3' end, scaled so the mean equals mean_rate."""
+        x = np.linspace(0.0, 1.0, read_len)
+        shape = 1.0 + (end_factor - 1.0) * x**3
+        shape *= mean_rate / shape.mean()
+        return cls(pos_error=shape)
+
+    @property
+    def read_len(self) -> int:
+        return int(self.pos_error.shape[0])
+
+    def sample_error_positions(self, rng: np.random.Generator) -> np.ndarray:
+        """Indices of substitution errors for one read."""
+        return np.nonzero(rng.random(self.read_len) < self.pos_error)[0]
+
+
+@dataclasses.dataclass
+class QualityHmm:
+    """HMM over Phred qualities (pbsim2 --hmm_model role)."""
+
+    trans: np.ndarray      # [S, S] row-stochastic
+    emit: np.ndarray       # [S, MAX_Q] row-stochastic quality emissions
+    init: np.ndarray       # [S]
+    difference_ratio: Tuple[int, int, int] = DEFAULT_DIFFERENCE_RATIO
+
+    def __post_init__(self):
+        s = self.trans.shape[0]
+        assert self.trans.shape == (s, s) and self.emit.shape[0] == s
+        assert np.allclose(self.trans.sum(1), 1.0, atol=1e-6)
+        assert np.allclose(self.emit.sum(1), 1.0, atol=1e-6)
+
+    @classmethod
+    def from_pbsim_file(cls, path: str,
+                        difference_ratio: Tuple[int, int, int] = DEFAULT_DIFFERENCE_RATIO
+                        ) -> "QualityHmm":
+        """Parse a quality-HMM model file.
+
+        Expected contents (whitespace-separated numbers, '#' comments
+        allowed): first an integer S (number of states), then S*S
+        transition probabilities (row-major), then S*94 quality-emission
+        probabilities (row-major). Anything else raises ValueError naming
+        this contract, so an incompatible upstream model file fails
+        loudly instead of silently missimulating.
+        """
+        nums = []
+        with open(path) as fd:
+            for line in fd:
+                line = line.split("#", 1)[0]
+                nums.extend(float(tok) for tok in line.split())
+        if not nums:
+            raise ValueError(f"{path}: empty model file")
+        s = int(nums[0])
+        want = 1 + s * s + s * MAX_Q
+        if s <= 0 or len(nums) != want:
+            raise ValueError(
+                f"{path}: expected <S> <S*S transitions> <S*{MAX_Q} emissions> "
+                f"= {want if s > 0 else 'N'} numbers for S={s}, got {len(nums)}"
+            )
+        trans = np.array(nums[1 : 1 + s * s]).reshape(s, s)
+        emit = np.array(nums[1 + s * s :]).reshape(s, MAX_Q)
+        trans = trans / trans.sum(1, keepdims=True)
+        emit = emit / emit.sum(1, keepdims=True)
+        init = _stationary(trans)
+        return cls(trans=trans, emit=emit, init=init,
+                   difference_ratio=difference_ratio)
+
+    @classmethod
+    def from_accuracy(cls, accuracy_mean: float = 0.95,
+                      burst_error: float = 0.35,
+                      p_enter_burst: float = 0.01,
+                      p_exit_burst: float = 0.20,
+                      difference_ratio: Tuple[int, int, int] = DEFAULT_DIFFERENCE_RATIO
+                      ) -> "QualityHmm":
+        """2-state bursty model calibrated to a target mean accuracy.
+
+        The burst state's error rate is fixed; the normal state's rate is
+        solved from the stationary distribution so the overall expected
+        per-base error equals 1-accuracy_mean (clipped at tiny positive).
+        """
+        target = 1.0 - accuracy_mean
+        pi_b = p_enter_burst / (p_enter_burst + p_exit_burst)
+        pi_n = 1.0 - pi_b
+        e_b = min(burst_error, 0.75)
+        e_n = max((target - pi_b * e_b) / pi_n, 1e-4)
+        trans = np.array(
+            [[1 - p_enter_burst, p_enter_burst], [p_exit_burst, 1 - p_exit_burst]]
+        )
+        emit = np.zeros((2, MAX_Q))
+        for row, e in ((0, e_n), (1, e_b)):
+            q = -10.0 * np.log10(max(e, 1e-9))
+            lo = int(np.clip(np.floor(q), 0, MAX_Q - 1))
+            hi = min(lo + 1, MAX_Q - 1)
+            frac = q - lo
+            # split between neighbor qualities so the MEAN error is exact
+            # in expectation (linear interp in q-space is close enough at
+            # these magnitudes; the statistical test pins the outcome)
+            emit[row, lo] = 1.0 - frac
+            emit[row, hi] += frac
+        init = np.array([pi_n, pi_b])
+        return cls(trans=trans, emit=emit, init=init,
+                   difference_ratio=difference_ratio)
+
+    def sample_qualities(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        """[n] int8 Phred qualities from one HMM walk."""
+        s = self.trans.shape[0]
+        states = np.empty(n, np.int64)
+        if n == 0:
+            return np.empty(0, np.int8)
+        states[0] = rng.choice(s, p=self.init)
+        # cumulative rows once; walk with uniforms (fast enough at 1kbp)
+        ctrans = np.cumsum(self.trans, axis=1)
+        u = rng.random(n)
+        for i in range(1, n):
+            states[i] = np.searchsorted(ctrans[states[i - 1]], u[i])
+        cemit = np.cumsum(self.emit, axis=1)
+        ue = rng.random(n)
+        quals = np.array(
+            [np.searchsorted(cemit[st], x) for st, x in zip(states, ue)], np.int8
+        )
+        return np.minimum(quals, MAX_Q - 1)
+
+    def error_probs(self, quals: np.ndarray) -> np.ndarray:
+        return np.power(10.0, -quals.astype(np.float64) / 10.0)
+
+
+def _stationary(trans: np.ndarray) -> np.ndarray:
+    vals, vecs = np.linalg.eig(trans.T)
+    i = int(np.argmin(np.abs(vals - 1.0)))
+    v = np.real(vecs[:, i])
+    v = np.abs(v)
+    return v / v.sum()
+
+
+def write_model_file(path: str, model: QualityHmm) -> None:
+    """Serialize a QualityHmm in the from_pbsim_file contract format."""
+    s = model.trans.shape[0]
+    with open(path, "w") as fd:
+        fd.write(f"# khoice-tpu quality-HMM model (S, S*S trans, S*{MAX_Q} emit)\n")
+        fd.write(f"{s}\n")
+        for row in model.trans:
+            fd.write(" ".join(f"{x:.8g}" for x in row) + "\n")
+        for row in model.emit:
+            fd.write(" ".join(f"{x:.8g}" for x in row) + "\n")

@@ -49,9 +49,16 @@ def sim_illumina(
     coverage: float = 10.0,
     read_len: int = 150,
     subst_rate: float = 0.0015,
+    profile=None,
 ) -> List[str]:
-    """Illumina-like reads: fixed length, substitution-only errors
-    (ART HS25 regime, reference prepare_data.smk:81)."""
+    """Illumina-like reads with a per-position quality profile: errors
+    rise toward the 3' end like ART's empirical HS25 profile (reference
+    prepare_data.smk:81). profile defaults to
+    error_models.IlluminaProfile.hs25_like(read_len, subst_rate)."""
+    from .error_models import IlluminaProfile
+
+    if profile is None:
+        profile = IlluminaProfile.hs25_like(read_len, mean_rate=subst_rate)
     out: List[str] = []
     for seq in seqs:
         codes = _codes_of(seq)
@@ -62,9 +69,8 @@ def sim_illumina(
         starts = rng.integers(0, n - read_len + 1, size=n_reads)
         for s in starts:
             read = codes[s : s + read_len].copy()
-            n_err = rng.binomial(read_len, subst_rate)
-            if n_err:
-                pos = rng.choice(read_len, size=n_err, replace=False)
+            pos = profile.sample_error_positions(rng)
+            if pos.size:
                 read = _mutate_sub(read, pos, rng)
             out.append(_to_str(read))
     return out
@@ -77,11 +83,28 @@ def sim_ont(
     accuracy_mean: float = 0.95,
     length_min: int = 900,
     length_max: int = 1100,
+    model=None,
+    model_file: str | None = None,
 ) -> List[str]:
-    """ONT-like long reads: uniform length in [min,max], errors split
-    ~substitution/insertion/deletion (pbsim regime, prepare_data.smk:97-98)."""
+    """ONT-like long reads with an error-burst quality HMM (pbsim regime,
+    prepare_data.smk:97-98): per-base Phred qualities come from an HMM
+    walk (model_file parses the on-disk format, see
+    error_models.QualityHmm.from_pbsim_file; PBSIM_MODEL in
+    config/config.yaml:11), error probability is 10^(-q/10), and error
+    TYPES follow pbsim2's sub:ins:del difference ratio. Defaults to a
+    2-state bursty model calibrated to accuracy_mean."""
+    from .error_models import QualityHmm
+
+    if model is None:
+        model = (
+            QualityHmm.from_pbsim_file(model_file)
+            if model_file
+            else QualityHmm.from_accuracy(accuracy_mean)
+        )
+    rsub, rins, rdel = model.difference_ratio
+    rtot = rsub + rins + rdel
+    psub, pins = rsub / rtot, rins / rtot
     out: List[str] = []
-    err_rate = 1.0 - accuracy_mean
     for seq in seqs:
         codes = _codes_of(seq)
         n = codes.shape[0]
@@ -93,24 +116,21 @@ def sim_ont(
             ln = int(rng.integers(length_min, length_max + 1))
             s = int(rng.integers(0, n - ln + 1))
             read = codes[s : s + ln]
-            # apply errors base-by-base: 60% sub / 20% ins / 20% del
-            draws = rng.random(ln)
+            quals = model.sample_qualities(rng, ln)
+            err = rng.random(ln) < model.error_probs(quals)
             pieces: List[np.ndarray] = []
+            kinds = rng.random(ln)
             for i in range(ln):
-                if draws[i] >= err_rate:
+                if not err[i]:
                     pieces.append(read[i : i + 1])
-                else:
-                    kind = rng.random()
-                    if kind < 0.6:  # substitution
-                        pieces.append(
-                            np.array([(read[i] + rng.integers(1, 4)) % 4], np.uint8)
-                        )
-                    elif kind < 0.8:  # insertion (keep base + random base)
-                        pieces.append(read[i : i + 1])
-                        pieces.append(
-                            np.array([rng.integers(0, 4)], np.uint8)
-                        )
-                    # else deletion: drop base
+                elif kinds[i] < psub:  # substitution
+                    pieces.append(
+                        np.array([(read[i] + rng.integers(1, 4)) % 4], np.uint8)
+                    )
+                elif kinds[i] < psub + pins:  # insertion (keep + random base)
+                    pieces.append(read[i : i + 1])
+                    pieces.append(np.array([rng.integers(0, 4)], np.uint8))
+                # else deletion: drop base
             if pieces:
                 out.append(_to_str(np.concatenate(pieces)))
     return out

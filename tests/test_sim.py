@@ -33,6 +33,83 @@ def test_sim_ont_length_range(rng):
     assert all(700 < len(r) < 1300 for r in reads)
 
 
+def test_illumina_positional_profile_statistics(rng):
+    """Error rate matches the configured mean and RISES toward the 3' end
+    (ART HS25 profile shape) — measured by aligning reads back to their
+    error-free source positions."""
+    from khoice_tpu.sim.error_models import IlluminaProfile
+
+    prof = IlluminaProfile.hs25_like(150, mean_rate=0.01)
+    seq = random_dna(rng, 4000)
+    g = np.random.default_rng(5)
+    n_reads, per_pos_err, total = 4000, np.zeros(150), 0
+    src = np.frombuffer(seq.encode(), dtype=np.uint8)
+    for _ in range(n_reads):
+        s = int(g.integers(0, 4000 - 150 + 1))
+        read = sim_illumina([seq[s : s + 150]], g, coverage=1.0, profile=prof)[0]
+        diff = np.frombuffer(read.encode(), dtype=np.uint8) != src[s : s + 150]
+        per_pos_err += diff
+        total += diff.sum()
+    mean_rate = total / (n_reads * 150)
+    assert 0.008 < mean_rate < 0.012, mean_rate
+    # 3' third must be substantially noisier than the 5' third
+    assert per_pos_err[100:].mean() > 2.0 * per_pos_err[:50].mean()
+
+
+def test_ont_hmm_accuracy_calibration():
+    """Mean per-base error of the default quality HMM matches
+    1-accuracy_mean within 20%, and errors are BURSTY (adjacent error
+    correlation well above the iid expectation)."""
+    from khoice_tpu.sim.error_models import QualityHmm
+
+    acc = 0.95
+    model = QualityHmm.from_accuracy(acc)
+    g = np.random.default_rng(11)
+    quals = model.sample_qualities(g, 200_000)
+    errp = model.error_probs(quals)
+    err = g.random(errp.shape[0]) < errp
+    rate = err.mean()
+    assert 0.8 * (1 - acc) < rate < 1.2 * (1 - acc), rate
+    # burstiness: P(err_{i+1} | err_i) >> P(err) for an HMM with bursts
+    cond = (err[1:] & err[:-1]).sum() / max(err[:-1].sum(), 1)
+    assert cond > 2.0 * rate, (cond, rate)
+
+
+def test_ont_model_file_roundtrip(tmp_path):
+    """write_model_file -> from_pbsim_file roundtrips, drives sim_ont, and
+    a malformed file raises with the format contract in the message."""
+    import pytest as _pytest
+
+    from khoice_tpu.sim.error_models import QualityHmm, write_model_file
+
+    model = QualityHmm.from_accuracy(0.9)
+    path = tmp_path / "R95.model"
+    write_model_file(str(path), model)
+    loaded = QualityHmm.from_pbsim_file(str(path))
+    assert np.allclose(loaded.trans, model.trans, atol=1e-6)
+    assert np.allclose(loaded.emit, model.emit, atol=1e-6)
+
+    seqs = ["".join("ACGT"[i % 4] for i in range(3000))]
+    reads = sim_ont(seqs, np.random.default_rng(3), length_min=400,
+                    length_max=600, model_file=str(path))
+    assert reads and all(300 < len(r) < 700 for r in reads)
+
+    bad = tmp_path / "bad.model"
+    bad.write_text("3 0.5 0.5\n")
+    with _pytest.raises(ValueError, match="transitions"):
+        QualityHmm.from_pbsim_file(str(bad))
+
+
+def test_ont_length_distribution_in_bounds():
+    seqs = ["".join("ACGT"[i % 4] for i in range(30000))]
+    g = np.random.default_rng(9)
+    reads = sim_ont(seqs, g, accuracy_mean=0.99, length_min=900, length_max=1100)
+    # with 1% error the indel drift is small; raw draw is in [900, 1100]
+    lens = np.array([len(r) for r in reads])
+    assert lens.min() > 850 and lens.max() < 1150
+    assert 950 < lens.mean() < 1050
+
+
 def test_grab_reads(rng):
     seqs = [random_dna(rng, 2000), random_dna(rng, 2000)]
     reads = grab_reads(seqs, np.random.default_rng(3), num_reads=50, read_length=80)

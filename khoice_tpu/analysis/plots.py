@@ -84,7 +84,244 @@ def plot_type1(step5_csv: str, out_path: str, band_cols: Optional[List[str]] = N
     return _save(fig, out_path)
 
 
-plot_type2 = plot_type1  # identical shape over the exp2 CSV schema
+WITHIN_BANDS_T2 = [
+    "percent_75_or_more",
+    "percent_25_to_75",
+    "percent_25_or_less",
+    "percent_1_occ",
+]
+ACROSS_BANDS_T2 = ["percent_4_to_8", "percent_2_to_3", "percent_1_occ"]
+
+
+def _stacked_fill_bars(ax, sub: List[dict], bands: List[str], x_key: str = "k"):
+    """position='fill' stacked bars: each bar normalized to sum 1 over the
+    melted bands (the R scripts' geom_bar(position='fill'))."""
+    xs = [r[x_key] for r in sub]
+    mat = np.array([[float(r[b]) for b in bands] for r in sub])  # [n, B]
+    totals = mat.sum(1, keepdims=True)
+    totals[totals == 0] = 1.0
+    mat = mat / totals
+    bottom = np.zeros(len(sub))
+    for bi, band in enumerate(bands):
+        ax.bar(range(len(xs)), mat[:, bi], bottom=bottom, label=band)
+        bottom += mat[:, bi]
+    ax.set_xticks(range(len(xs)))
+    ax.set_xticklabels(xs, rotation=90, fontsize=6)
+
+
+def _unique_stat_curves(ax, rows: List[dict], names: Optional[Sequence[str]]):
+    groups = sorted({r["group_num"] for r in rows})
+    for gi, group in enumerate(groups):
+        sub = [r for r in rows if r["group_num"] == group]
+        ks = [int(r["k"]) for r in sub]
+        ys = [float(r["unique_stat"]) for r in sub]
+        label = names[gi] if names and gi < len(names) else group
+        ax.plot(ks, ys, marker="o", ms=3, label=label)
+    ax.axhline(1.0, ls="--", color="red")  # R's geom_hline(yintercept=1)
+    ax.set_xlabel("Kmer Length (k)")
+    ax.set_ylabel("Uniqueness Statistic")
+    ax.legend(fontsize=7)
+
+
+def plot_type2(
+    within_csv: str,
+    across_csv: str,
+    out_dir: str,
+    dataset_names: Optional[Sequence[str]] = None,
+) -> List[str]:
+    """Per-script parity with analysis/kmer_plots_type_2.R: per-group
+    within stacked fill-bars + within uniqueness curves (hline at 1), and
+    per-pivot across stacked fill-bars + across uniqueness curves, with
+    the reference's output file names."""
+    out: List[str] = []
+    within = _read_csv(within_csv)
+    groups = sorted({r["group_num"] for r in within})
+    for pos, group in enumerate(groups, start=1):
+        sub = [r for r in within if r["group_num"] == group]
+        name = (
+            dataset_names[pos - 1]
+            if dataset_names and pos <= len(dataset_names)
+            else group
+        )
+        fig, ax = plt.subplots(figsize=(6, 4.5))
+        _stacked_fill_bars(ax, sub, WITHIN_BANDS_T2)
+        ax.set_xlabel("Kmer Length (k)")
+        ax.set_ylabel("Ratio of Unique Kmers")
+        ax.set_title(f"Uniqueness of Kmers Across {name} Genomes w.r.t a Pivot Genome",
+                     fontsize=8)
+        ax.legend(fontsize=6, loc="lower right")
+        out.append(_save(fig, os.path.join(out_dir, f"within_dataset_{pos}_kmer_analysis.png")))
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    _unique_stat_curves(ax, within, dataset_names)
+    ax.set_title("Uniqueness statistic as k increases for each dataset", fontsize=9)
+    out.append(_save(fig, os.path.join(out_dir, "within_dataset_unique_stat.png")))
+
+    across = _read_csv(across_csv)
+    agroups = sorted({r["group_num"] for r in across})
+    for pos, group in enumerate(agroups, start=1):
+        sub = [r for r in across if r["group_num"] == group]
+        name = (
+            dataset_names[pos - 1]
+            if dataset_names and pos <= len(dataset_names)
+            else group
+        )
+        fig, ax = plt.subplots(figsize=(6, 4.5))
+        _stacked_fill_bars(ax, sub, ACROSS_BANDS_T2)
+        ax.set_xlabel("Kmer Length (k)")
+        ax.set_ylabel("Ratio of Unique Kmers")
+        ax.set_title(
+            f"Uniqueness of Kmers Across All {len(agroups)} Groups w.r.t {name} Pivot",
+            fontsize=8,
+        )
+        ax.legend(fontsize=6, loc="lower right")
+        out.append(_save(fig, os.path.join(out_dir, f"across_datasets_{pos}_kmer_analysis.png")))
+
+    fig, ax = plt.subplots(figsize=(6, 4))
+    _unique_stat_curves(ax, across, dataset_names)
+    ax.set_title(
+        f"Uniqueness statistic across all {len(agroups)} datasets as k increases",
+        fontsize=9,
+    )
+    out.append(_save(fig, os.path.join(out_dir, "across_dataset_unique_stat.png")))
+    return out
+
+
+def _normalized_confusion(matrix_csv: str) -> np.ndarray:
+    """Row-normalize a header-less confusion matrix, round(2) like the R
+    scripts (kmer_plots_type_4.R:99-105)."""
+    with open(matrix_csv) as fd:
+        mat = np.array(
+            [[float(x) for x in line.strip().split(",")] for line in fd if line.strip()]
+        )
+    sums = mat.sum(1, keepdims=True)
+    sums[sums == 0] = 1.0
+    return np.round(mat / sums, 2)
+
+
+def _heatmap(ax, norm: np.ndarray, row_names, col_names, title: str):
+    im = ax.imshow(norm, cmap="RdYlGn")
+    for i in range(norm.shape[0]):
+        for j in range(norm.shape[1]):
+            ax.text(j, i, f"{norm[i, j]:.2f}", ha="center", va="center",
+                    color="white", fontsize=8)
+    ax.set_xticks(range(len(col_names)))
+    ax.set_xticklabels(col_names, rotation=30, ha="right", fontsize=7)
+    ax.set_yticks(range(len(row_names)))
+    ax.set_yticklabels(row_names, fontsize=7)
+    ax.set_xlabel("Predicted")
+    ax.set_ylabel("True")
+    ax.set_title(title, fontsize=9)
+    return im
+
+
+def plot_type4(
+    accuracy_csv: str,
+    confusion_matrix_csv: str,
+    out_dir: str,
+    k,
+    dataset_names: Optional[Sequence[str]] = None,
+) -> List[str]:
+    """Per-script parity with analysis/kmer_plots_type_4.R: per-dataset
+    accuracy-vs-k curves from the exp4/exp6 concatenated accuracy CSV
+    ((TP+TN)/total), plus the row-normalized confusion heatmap for one k
+    with the extra 'Unidentified' column."""
+    per_ds: Dict[str, Dict[int, float]] = {}
+    with open(accuracy_csv) as fd:
+        for line in fd:
+            f = line.strip().split(",")
+            if len(f) < 6 or f[0] in ("k", ""):
+                continue
+            kk = int(float(f[0]))
+            ds = f[1]
+            tp, tn, fp, fn = (float(x) for x in f[2:6])
+            tot = tp + tn + fp + fn
+            per_ds.setdefault(ds, {})[kk] = (tp + tn) / tot if tot else 0.0
+    fig, ax = plt.subplots(figsize=(5.5, 4))
+    for i, ds in enumerate(sorted(per_ds)):
+        name = (
+            dataset_names[i]
+            if dataset_names and i < len(dataset_names)
+            else f"Dataset: {ds}"
+        )
+        ks = sorted(per_ds[ds])
+        ax.plot(ks, [per_ds[ds][kk] for kk in ks], marker="o", ms=3, label=name)
+    ax.set_xlabel("Kmer Length (k)")
+    ax.set_ylabel("Accuracy")
+    ax.set_title("Kmer Classification Accuracy Using LCA Across Groups", fontsize=9)
+    ax.legend(fontsize=7)
+    out = [_save(fig, os.path.join(out_dir, "accuracy_plot.png"))]
+
+    norm = _normalized_confusion(confusion_matrix_csv)
+    d = norm.shape[0]
+    rows = list(dataset_names[:d]) if dataset_names else [f"dataset_{i+1}" for i in range(d)]
+    cols = rows + (["Unidentified"] if norm.shape[1] == d + 1 else [])
+    fig, ax = plt.subplots(figsize=(5, 4.5))
+    im = _heatmap(ax, norm, rows, cols, f"Confusion Matrix for k = {k}")
+    fig.colorbar(im, ax=ax, label="% Kmers")
+    out.append(
+        _save(fig, os.path.join(out_dir, f"k_{k}_confusion_matrix_normalized.png"))
+    )
+    return out
+
+
+def plot_type5(
+    confusion_matrix_csv: str,
+    out_dir: str,
+    dataset_names: Optional[Sequence[str]] = None,
+) -> str:
+    """Per-script parity with analysis/kmer_plots_type_5.R: one
+    row-normalized confusion heatmap (no Unidentified column label)."""
+    norm = _normalized_confusion(confusion_matrix_csv)
+    d = norm.shape[0]
+    rows = list(dataset_names[:d]) if dataset_names else [f"dataset_{i+1}" for i in range(d)]
+    cols = rows + (["Unidentified"] if norm.shape[1] > d else [])
+    fig, ax = plt.subplots(figsize=(5, 4.5))
+    im = _heatmap(ax, norm, rows, cols[: norm.shape[1]], "")
+    fig.colorbar(im, ax=ax, label="% Kmers")
+    return _save(fig, os.path.join(out_dir, "confusion_matrix_normalized.png"))
+
+
+def plot_database_percent_bars(
+    across_csv_by_percent: Dict[int, str],
+    out_dir: str,
+    dataset_names: Optional[Sequence[str]] = None,
+) -> List[str]:
+    """Per-script parity with analysis/database_percent_comparison.R: per
+    pivot, stacked fill-bars of the across-group occurrence bands vs
+    DATABASE SIZE percent, plus the percent-unique-to-pivot bar chart.
+    across_csv_by_percent maps database-size % -> that run's exp2 across
+    CSV (one k per run, the reference's subsetting experiment)."""
+    by_group: Dict[str, List[tuple]] = {}
+    for pct in sorted(across_csv_by_percent):
+        for r in _read_csv(across_csv_by_percent[pct]):
+            by_group.setdefault(r["group_num"], []).append((pct, r))
+    out: List[str] = []
+    for pos, group in enumerate(sorted(by_group), start=1):
+        entries = by_group[group]
+        name = (
+            dataset_names[pos - 1]
+            if dataset_names and pos <= len(dataset_names)
+            else group
+        )
+        sub = [dict(r, database_size=str(pct)) for pct, r in entries]
+        fig, ax = plt.subplots(figsize=(5.5, 4))
+        _stacked_fill_bars(ax, sub, ACROSS_BANDS_T2, x_key="database_size")
+        ax.set_xlabel("Database Size (% RefSeq)")
+        ax.set_ylabel("Ratio of Unique Kmers")
+        ax.set_title(name, fontsize=9)
+        ax.legend(fontsize=6, loc="lower right")
+        out.append(_save(fig, os.path.join(out_dir, f"subset_across_{pos}.png")))
+
+        fig, ax = plt.subplots(figsize=(5.5, 4))
+        pcts = [pct for pct, _ in entries]
+        uniq = [float(r["percent_1_occ"]) for _, r in entries]
+        ax.bar([str(p) for p in pcts], uniq, color="steelblue")
+        ax.set_xlabel("Database Size (% RefSeq)")
+        ax.set_ylabel("% Kmers Unique to Pivot")
+        ax.set_title(name, fontsize=9)
+        out.append(_save(fig, os.path.join(out_dir, f"subset_unique_across_{pos}.png")))
+    return out
 
 
 def plot_type3(final_csv: str, out_path: str) -> str:

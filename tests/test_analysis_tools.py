@@ -206,3 +206,75 @@ def test_plot_species_read_comparison(tmp_path):
         csvs[rt] = paths
     out = plots.plot_species_read_comparison(csvs, str(tmp_path / "rd.png"))
     assert os.path.getsize(out) > 0
+
+
+def test_per_script_plotters_on_pipeline_csvs(rng, tmp_path):
+    """One plotter per remaining reference R script (kmer_plots_type_2/4/5,
+    database_percent_comparison), each consuming CSVs the PIPELINES emit."""
+    from conftest import random_dna
+    from khoice_tpu.analysis import plots
+    from khoice_tpu.pipelines.exp2 import run_exp2
+    from khoice_tpu.pipelines.exp6 import run_exp6
+
+    base = random_dna(rng, 300)
+    pivots, rest = {}, {}
+    for num in (1, 2):
+        seqs = []
+        for g in range(3):
+            s = list(base)
+            for _ in range(15 * num + 5 * g):
+                s[rng.randrange(len(base))] = "ACGT"[rng.randrange(4)]
+            seqs.append("".join(s))
+        pivots[num] = [seqs[0]]
+        rest[num] = [[x] for x in seqs[1:]]
+
+    # kmer_plots_type_2.R over run_exp2's two CSVs
+    out2 = run_exp2(pivots, rest, [7, 9], str(tmp_path / "e2"))
+    names = ["Bacillus cereus", "Bacillus anthracis"]
+    paths = plots.plot_type2(
+        out2["within"], out2["across"], str(tmp_path / "p2"), dataset_names=names
+    )
+    # reference output-name contract: per-group within/across + 2 curves
+    got = {os.path.basename(p) for p in paths}
+    assert {
+        "within_dataset_1_kmer_analysis.png",
+        "within_dataset_2_kmer_analysis.png",
+        "within_dataset_unique_stat.png",
+        "across_datasets_1_kmer_analysis.png",
+        "across_dataset_unique_stat.png",
+    } <= got
+    assert all(os.path.getsize(p) > 0 for p in paths)
+
+    # kmer_plots_type_4.R over run_exp6's trial CSV + confusion matrix
+    reads = {num: [pivots[num][0][i : i + 50] for i in range(0, 200, 25)] for num in rest}
+    acc_csv = run_exp6(reads, rest, [7, 9], str(tmp_path / "e6"))
+    cm_txt = os.path.join(
+        str(tmp_path / "e6"),
+        "accuracies_type_6/illumina/confusion_matrix/k_7_confusion_matrix.txt",
+    )
+    assert os.path.exists(cm_txt)
+    p4 = plots.plot_type4(acc_csv, cm_txt, str(tmp_path / "p4"), k=7, dataset_names=names)
+    assert {os.path.basename(p) for p in p4} == {
+        "accuracy_plot.png",
+        "k_7_confusion_matrix_normalized.png",
+    }
+    assert all(os.path.getsize(p) > 0 for p in p4)
+
+    # kmer_plots_type_5.R over the same matrix shape (exp5's confusion csv)
+    p5 = plots.plot_type5(cm_txt, str(tmp_path / "p5"), dataset_names=names)
+    assert os.path.basename(p5) == "confusion_matrix_normalized.png"
+    assert os.path.getsize(p5) > 0
+
+    # database_percent_comparison.R over across CSVs at two database sizes
+    dp = plots.plot_database_percent_bars(
+        {25: out2["across"], 100: out2["across"]},
+        str(tmp_path / "dp"),
+        dataset_names=names,
+    )
+    assert {os.path.basename(p) for p in dp} == {
+        "subset_across_1.png",
+        "subset_unique_across_1.png",
+        "subset_across_2.png",
+        "subset_unique_across_2.png",
+    }
+    assert all(os.path.getsize(p) > 0 for p in dp)

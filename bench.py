@@ -78,13 +78,101 @@ def main():
         times.append(time.time() - t0)
     kmers_per_s = n_kmers_total / min(times)
 
-    print(json.dumps({
+    headline = {
         "metric": "canonical_kmers_per_s_per_chip_kgrid_count_union_hist",
         "value": round(kmers_per_s / 1e6, 1),
         "unit": "Mkmer/s",
         "vs_baseline": round(kmers_per_s / KMC3_BASELINE_KMERS_PER_S, 2),
-    }))
+    }
+    try:
+        protocol = _protocol_rows(cj, gj, headline, min(times))
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_PROTOCOL.json"), "w") as fd:
+            json.dump(protocol, fd, indent=1)
+    except Exception as e:  # the headline line must survive protocol hiccups
+        print(f"[bench] protocol rows failed: {e!r}", file=sys.stderr)
+
+    print(json.dumps(headline))
     return 0 if chk != 0 else 1
+
+
+def _protocol_rows(cj, gj, headline, best_total):
+    """BASELINE.md measurement-protocol rows -> BENCH_PROTOCOL.json.
+
+    Rows: the 1-chip headline, a per-stage device breakdown
+    (extract / sort / multi-k scan of the master class), and the
+    multi-chip row — real N>=2-chip hardware is unavailable here, so that
+    row reports the 8-virtual-CPU-device SPMD validation (bit-exactness
+    vs the single-device sweep) plus the analytic per-device exchange
+    volume, clearly labeled as a dryrun, not a measurement.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from khoice_tpu.engine.ksweep import _extract_fwd_sweep, plan_sweep
+    from khoice_tpu.kernels.ksweep_scan_pallas import scan_multi_k_pallas
+
+    classes, _rem = plan_sweep(K_GRID, N_GENOMES)
+    kmax, KW, cks, packed = classes[0]
+
+    @jax.jit
+    def extract_ck(codes, gids):
+        rc = jnp.where(codes < 4, codes ^ 3, codes)[::-1]
+        fwd, _ = _extract_fwd_sweep(
+            jnp.concatenate([codes, rc]),
+            jnp.concatenate([gids, gids[::-1]]),
+            kmax, KW, packed=packed,
+        )
+        return sum(jnp.sum(w.astype(jnp.uint32)) for w in fwd)
+
+    @jax.jit
+    def extract_sort_ck(codes, gids):
+        rc = jnp.where(codes < 4, codes ^ 3, codes)[::-1]
+        fwd, _ = _extract_fwd_sweep(
+            jnp.concatenate([codes, rc]),
+            jnp.concatenate([gids, gids[::-1]]),
+            kmax, KW, packed=packed,
+        )
+        sk = jax.lax.sort(list(fwd), num_keys=KW, is_stable=False)
+        return sk[0][::1000].astype(jnp.uint32).sum()
+
+    def best(f):
+        float(f(cj, gj))
+        return min(
+            (lambda t0: (float(f(cj, gj)), time.time() - t0)[1])(time.time())
+            for _ in range(REPS)
+        )
+
+    te = best(extract_ck)
+    tes = best(extract_sort_ck)
+    n2 = 2 * int(cj.shape[0])
+    stages = {
+        "elements_doubled_text": n2,
+        "sort_class": {"kmax": kmax, "key_words": KW, "payload_packed": bool(packed),
+                       "ks_served": len(cks)},
+        "extract_ms": round(te * 1000, 1),
+        "sort_ms": round((tes - te) * 1000, 1),
+        "scan_30ks_ms": round((best_total - tes) * 1000, 1),
+        "total_ms": round(best_total * 1000, 1),
+    }
+
+    # multi-chip: validation row (no >=2-chip hardware behind the tunnel)
+    d = 8
+    exchange_bytes_per_device = (n2 // d) * (KW + (0 if packed else 1)) * 4
+    scaling = {
+        "mode": "virtual-cpu-dryrun (multi-chip hardware unavailable)",
+        "devices": d,
+        "validated": "sharded sweep bit-exact vs single-device "
+                     "(tests/test_dist_ksweep.py + __graft_entry__.dryrun_multichip)",
+        "all_to_all_bytes_per_device_per_class": exchange_bytes_per_device,
+        "measured_efficiency": None,
+    }
+    return {
+        "protocol": "BASELINE.md: rates at 1 chip / 1 host / >=2 hosts",
+        "one_chip": headline,
+        "stage_breakdown": stages,
+        "multi_chip": scaling,
+    }
 
 
 if __name__ == "__main__":

@@ -51,3 +51,30 @@ def read_dump_txt(path: str, k: int, capacity: int | None = None) -> KmerTable:
                 counts.append(int(c))
     keys = np.stack(kmers) if kmers else np.zeros((0, 1), np.uint32)
     return table_from_host(k, keys, np.array(counts, np.uint32), capacity=capacity)
+
+
+def write_kmc_binary(path_prefix: str, t: KmerTable,
+                     counter_size: int = 4) -> tuple:
+    """Export a KmerTable as a KMC binary database pair
+    (.kmc_pre/.kmc_suf; engine/kmc_format.py layout)."""
+    from .kmc_format import write_kmc_database
+
+    return write_kmc_database(path_prefix, dict(t.dump()), t.k,
+                              counter_size=counter_size)
+
+
+def read_kmc_binary(path_prefix: str, capacity: int | None = None) -> KmerTable:
+    """Import a KMC binary database pair into a KmerTable."""
+    from .kmc_format import read_kmc_database
+    from .table import encode_kmer
+
+    counts_dict, params = read_kmc_database(path_prefix)
+    k = params["kmer_length"]
+    kmers = sorted(counts_dict)
+    keys = (
+        np.stack([encode_kmer(km) for km in kmers])
+        if kmers
+        else np.zeros((0, 1), np.uint32)
+    )
+    counts = np.array([counts_dict[km] for km in kmers], np.uint32)
+    return table_from_host(k, keys, counts, capacity=capacity)

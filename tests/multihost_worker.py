@@ -25,7 +25,10 @@ def main() -> None:
     assert jax.process_count() == int(nprocs), jax.process_count()
 
     from khoice_tpu.dist.mesh import make_mesh
-    from khoice_tpu.dist.multihost import multihost_occurrence_histogram
+    from khoice_tpu.dist.multihost import (
+        multihost_occurrence_histogram,
+        multihost_occurrence_histograms_sweep,
+    )
     from khoice_tpu.io import encode_records
 
     # deterministic dataset, identical in every process
@@ -43,6 +46,11 @@ def main() -> None:
     for k in (11, 31):
         hist = multihost_occurrence_histogram(mesh, member_codes, k)
         out[str(k)] = hist[:8]
+    # the shared-sort k-sweep over the same process-spanning mesh
+    sweep = multihost_occurrence_histograms_sweep(
+        mesh, member_codes, [9, 15, 21, 33], cx=8
+    )
+    out["sweep"] = {str(k): h for k, h in sweep.items()}
     print("RESULT " + json.dumps({"pid": int(pid), "hists": out}), flush=True)
 
 

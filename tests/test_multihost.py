@@ -91,3 +91,11 @@ def test_two_process_distributed_occurrence():
     for k in (11, 31):
         expect = occurrence_histogram(member_codes, k)[:8]
         assert results[0][str(k)] == list(expect), f"k={k}"
+
+    # (c) the shared-sort k-sweep across processes equals the single-host
+    # sweep (2- and 3-word key classes)
+    from khoice_tpu.engine.ksweep import occurrence_histograms_sweep
+
+    want_sweep = occurrence_histograms_sweep(member_codes, [9, 15, 21, 33], cx=8)
+    for k in (9, 15, 21, 33):
+        assert results[0]["sweep"][str(k)] == want_sweep[k], f"sweep k={k}"

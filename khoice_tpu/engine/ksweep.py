@@ -128,29 +128,43 @@ def _rev2comp_words(words: tuple) -> tuple:
 
 
 def _extract_fwd_sweep(codes2, gids2, kmax: int, KW: int, packed: bool = False):
-    """Forward kmax-mer keys (A-padded past the first invalid base,
-    left-aligned in KW uint32 words) + payload (gid, nio).
+    """Forward kmax-mer keys (left-aligned in KW uint32 words) + payload
+    (gid, nio).
+
+    Word w of position i's key packs bases [i+16w, i+16w+16), so ONE
+    16-step shift-or over an extended position range yields every word as
+    a slice — kmax-independent, vs the kmax-step rolling build. nio
+    (#consecutive valid bases from i, capped at kmax) comes from a single
+    reverse cummin of invalid positions. Bases at invalid positions pack
+    as 0; bases AFTER an invalid one inside the window keep their real
+    values — harmless garbage: an element is only ever read at k <= nio,
+    and its top 2k bits then cover valid bases only (run grouping,
+    key_new, and palindrome checks all read top-2k bits exclusively).
 
     packed=False: payload is a separate word (gid << 8 | nio).
     packed=True: payload rides in the spare low bits of the last key word
     ((gid << 6) | nio, requires can_pack_payload(kmax, KW)); returns
     (fwd, None)."""
     n = codes2.shape[0]
-    cp = jnp.concatenate([codes2, jnp.full((kmax,), 4, codes2.dtype)])
-    fwd = tuple(jnp.zeros((n,), jnp.uint32) for _ in range(KW))
-    alive = jnp.ones((n,), jnp.bool_)
-    nio = jnp.zeros((n,), jnp.uint32)
-    for j in range(kmax):
-        c = cp[j : j + n]
-        alive = alive & (c < 4)
-        d = jnp.where(alive, c.astype(jnp.uint32) & 3, jnp.uint32(0))
-        nf = []
-        for wi in range(KW - 1):
-            nf.append((fwd[wi] << 2) | (fwd[wi + 1] >> 30))
-        nf.append((fwd[KW - 1] << 2) | d)
-        fwd = tuple(nf)
-        nio = nio + alive.astype(jnp.uint32)
-    fwd = _shl_words(fwd, KW * 32 - 2 * kmax)
+    m = n + 16 * (KW - 1)  # word w of position i = word 0 of position i+16w
+    cp = jnp.concatenate([codes2, jnp.full((16 * KW,), 4, codes2.dtype)])
+    valid = cp < 4
+    d2 = jnp.where(valid, cp.astype(jnp.uint32) & 3, jnp.uint32(0))
+    w = jnp.zeros((m,), jnp.uint32)
+    for j in range(16):
+        w = (w << 2) | d2[j : j + m]
+    fwd = tuple(w[16 * wi : 16 * wi + n] for wi in range(KW))
+    # zero the spare low bits (bases beyond kmax in the last word)
+    spare = KW * 32 - 2 * kmax
+    if spare:
+        mask = jnp.uint32((0xFFFFFFFF >> spare) << spare)
+        fwd = fwd[:-1] + (fwd[-1] & mask,)
+    # nio via next-invalid position: one reverse cummin instead of a
+    # kmax-step alive scan
+    idx = jnp.arange(cp.shape[0], dtype=jnp.int32)
+    inv_pos = jnp.where(valid, jnp.int32(0x7FFFFFFF), idx)
+    next_inv = jax.lax.cummin(inv_pos, axis=0, reverse=True)
+    nio = jnp.minimum(next_inv[:n] - idx[:n], kmax).astype(jnp.uint32)
     if packed:
         assert can_pack_payload(kmax, KW)
         pay = (gids2 << PACK_NIO_BITS) | nio

@@ -1,25 +1,34 @@
 """Pallas TPU kernel: multi-k occurrence scan over ONE shared-sorted array.
 
 Consumes the doubled-text forward-kmax sort of engine/ksweep.py (key words
-MSB-first, left-aligned; payload word gid<<8|nio) and produces, for EVERY k
-in a static list at once, the doubled + palindromic occurrence histograms
+MSB-first, left-aligned; payload gid/nio either in a separate word or
+packed into the last key word's spare bits) and produces, for EVERY k in a
+static list at once, the doubled + palindromic occurrence histograms
 (hist[b-1] = #runs whose distinct-gid count is b).  engine/ksweep.py
 combines them into canonical histograms ((d + pal) / 2), replacing the
 reference's per-k kmc+union+histogram chain
-(workflow/rules/exp_type_1.smk:156-191) with one pass per ~8 ks.
+(workflow/rules/exp_type_1.smk:156-191) with one pass per ~15 ks.
 
 Per element and per k the work is a segmented OR-scan of one-hot gid
-bitmasks with segment resets at k-run boundaries (top-2k-bit changes).  Key
-efficiency trick: since masks need only n_members <= 32 bits, SEVERAL ks
-share one u32 scan word (8/16/32-bit subfields), so the log2(TILE)-step
-Hillis-Steele scan — the expensive part — is paid once per WORD, not per k.
-Boundary resets stay per-k because the kill mask K (all-ones per killed
-subfield) propagates through the same scan: v |= v_sh & ~K; K |= K_sh.
+bitmasks with segment resets at k-run boundaries (top-2k-bit changes).
+Efficiency tricks:
+
+- masks need only n_members <= 32 bits, so SEVERAL ks share one u32 scan
+  word (8/16/32-bit subfields): the scan — the expensive part — is paid
+  once per WORD, not per k.  Boundary resets stay per-k because the kill
+  mask K (all-ones per killed subfield) propagates through the same scan:
+  v |= v_sh & ~K; K |= K_sh.
+- the tile is laid out (128 rows x 128 lanes) in row-major linear order
+  and the segmented scan runs TWO-LEVEL: 7 masked-roll steps within rows,
+  then a 7-step scan of the 128 row summaries on a (128, 1) column, then
+  one combine — ~7 full-tile steps instead of the 14 a flat
+  Hillis-Steele over 16384 lanes needs (the kernel is VPU-bound, so scan
+  steps on the full tile dominate device time).
 
 Run closes are counted at run STARTS (the element where key_new_k fires
 charges the PREVIOUS element's scanned OR value), which makes tile
-boundaries uniform: the first lane reads the carried OR/pal/key from SMEM.
-A final fixup at the last tile closes the still-open run of each k.
+boundaries uniform: the first element reads the carried OR/pal/key from
+SMEM.  A final fixup at the last tile closes the still-open run of each k.
 """
 
 from __future__ import annotations
@@ -31,15 +40,69 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 16 * 1024  # small enough that a chunk's live scan state fits VMEM
+ROWS = 128
+COLS = 128
+TILE = ROWS * COLS  # 16384, small enough that live scan state fits VMEM
 BINS_PAD = 128
-MAX_KS_PER_CALL = 8
+MAX_KS_PER_CALL = 15
 
 
-def _roll_right(x, s):
+def _row_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+
+
+def _col_iota(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+
+
+def _roll_right_cols(x, s):
+    """Shift right by s within each row, zero-filling the first s cols."""
     rolled = pltpu.roll(x, shift=s, axis=1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    return jnp.where(lane >= s, rolled, jnp.zeros_like(x))
+    return jnp.where(_col_iota(x.shape) >= s, rolled, jnp.zeros_like(x))
+
+
+def _roll_down_rows(x, s):
+    """Shift down by s rows, zero-filling the first s rows ((R, 1) cols)."""
+    rolled = pltpu.roll(x, shift=s, axis=0)
+    return jnp.where(_row_iota(x.shape) >= s, rolled, jnp.zeros_like(x))
+
+
+def _shift_lin1(x, first_vals):
+    """Previous element in ROW-MAJOR linear order: (r, c-1), wrapping to
+    (r-1, COLS-1) at column 0. first_vals (broadcastable) supplies element
+    (0, 0)."""
+    rolled = pltpu.roll(x, shift=1, axis=1)
+    last_col = x[:, COLS - 1 : COLS]
+    prev_last = pltpu.roll(last_col, shift=1, axis=0)
+    col0 = _col_iota(x.shape) == 0
+    out = jnp.where(col0, prev_last, rolled)
+    first = col0 & (_row_iota(x.shape) == 0)
+    return jnp.where(first, first_vals, out)
+
+
+def _seg_scan_2level(v, K):
+    """Inclusive segmented OR-scan over row-major linear order.
+
+    (v, K) combine: x after y = (x | (y_v & ~x_K), x_K | y_K) — v
+    accumulates within segments, K kills across boundaries. Returns the
+    full-prefix (v, K) per element."""
+    s = 1
+    while s < COLS:
+        v = v | (_roll_right_cols(v, s) & ~K)
+        K = K | _roll_right_cols(K, s)
+        s *= 2
+    # row summaries: the inclusive scan value at each row's last element
+    sv = v[:, COLS - 1 : COLS]
+    sK = K[:, COLS - 1 : COLS]
+    s = 1
+    while s < ROWS:
+        sv = sv | (_roll_down_rows(sv, s) & ~sK)
+        sK = sK | _roll_down_rows(sK, s)
+        s *= 2
+    # exclusive row prefixes (row r gets rows 0..r-1 combined)
+    pv = _roll_down_rows(sv, 1)
+    pK = _roll_down_rows(sK, 1)
+    return v | (pv & ~K), K | pK
 
 
 def _swar_counts(v, bits: int):
@@ -99,6 +162,11 @@ def _pal_vec(cur, rev, k, KW):
             rhs = rev[i]
         else:
             rhs = rev[i] & jnp.uint32((1 << (2 * k - lo_bit)) - 1)
+        if lo_bit + 32 > 2 * k:  # mask lhs identically (top bits beyond 2k)
+            if lo_bit >= 2 * k:
+                lhs = jnp.zeros_like(lhs)
+            else:
+                lhs = lhs & jnp.uint32((1 << (2 * k - lo_bit)) - 1)
         eq = eq & (lhs == rhs)
     return eq
 
@@ -128,7 +196,7 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed):
         carry[KW + n_ch] = jnp.uint32(0)
         cum[:] = jnp.zeros((2 * n_ks, BINS_PAD), jnp.int32)
 
-    cur = [keys_ref[wi][:] for wi in range(KW)]
+    cur = [keys_ref[wi][:] for wi in range(KW)]  # (ROWS, COLS)
     if packed:
         # payload rides the last key word's spare low bits (engine/ksweep
         # PACK_GID_BITS/PACK_NIO_BITS layout: gid << 6 | nio)
@@ -139,15 +207,14 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed):
         gid = (pay >> 8) & jnp.uint32(0xFF)
         nio = pay & jnp.uint32(0xFF)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, cur[0].shape, 1)
-    first = lane == 0
     prev = [
-        jnp.where(first, jnp.full_like(cur[wi], carry[wi]), _roll_right(cur[wi], 1))
-        for wi in range(KW)
+        _shift_lin1(cur[wi], jnp.full_like(cur[wi], carry[wi])) for wi in range(KW)
     ]
 
     key_new = [_key_new_vec(cur, prev, k, KW) for k in ks]
     rev = _rev2comp_vec(cur)
+    pal = {k: _pal_vec(cur, rev, k, KW) for k in ks if k % 2 == 0}
+    first = (_row_iota(cur[0].shape) == 0) & (_col_iota(cur[0].shape) == 0)
 
     base = jnp.uint32(1) << gid  # one-hot gid, fits in the low `bits` bits
     for c in range(n_ch):
@@ -159,16 +226,11 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed):
             K = K | jnp.where(
                 key_new[c * per_word + s], subfield_max << (s * bits), jnp.uint32(0)
             )
-        # segmented OR scan: v accumulates within segments, K kills across
-        s_sh = 1
-        while s_sh < TILE:
-            v = v | (_roll_right(v, s_sh) & ~K)
-            K = K | _roll_right(K, s_sh)
-            s_sh *= 2
+        v, K = _seg_scan_2level(v, K)
         # inject the carried OR into the first (still-open) segment
         v = v | (~K & jnp.full_like(v, carry[KW + c]))
-        # previous element's accumulated OR (first lane <- carried OR)
-        pv = jnp.where(first, jnp.full_like(v, carry[KW + c]), _roll_right(v, 1))
+        # previous element's accumulated OR (first element <- carried OR)
+        pv = _shift_lin1(v, jnp.full_like(v, carry[KW + c]))
         pc = _swar_counts(pv, bits)
 
         for s, k in enumerate(cks):
@@ -178,10 +240,9 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed):
             )
             closing = key_new[ki]
             if k % 2 == 0:
-                pal_prev_u = jnp.where(
-                    first,
+                pal_prev_u = _shift_lin1(
+                    pal[k].astype(jnp.uint32),
                     (jnp.full_like(v, carry[KW + n_ch]) >> ki) & 1,
-                    _roll_right(_pal_vec(cur, rev, k, KW).astype(jnp.uint32), 1),
                 )
                 pal_prev = pal_prev_u > 0
             bin_lane = jax.lax.broadcasted_iota(jnp.int32, (1, BINS_PAD), 1)
@@ -203,8 +264,7 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed):
         # close the final open run of this channel's ks on the last tile
         @pl.when(i == n_prog - 1)
         def _(c=c, v=v, cks=cks):
-            last = TILE - 1
-            pc_last = _swar_counts(v, bits)[0, last]
+            pc_last = _swar_counts(v, bits)[ROWS - 1, COLS - 1]
             for s, k in enumerate(cks):
                 ki = c * per_word + s
                 b = jnp.minimum(
@@ -216,23 +276,23 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed):
                 ).astype(jnp.int32)
                 cum[ki : ki + 1, :] = cum[ki : ki + 1, :] + add
                 if k % 2 == 0:
-                    pal_last = _pal_vec(cur, rev, k, KW).astype(jnp.int32)[0, last]
+                    pal_last = pal[k].astype(jnp.int32)[ROWS - 1, COLS - 1]
                     cum[n_ks + ki : n_ks + ki + 1, :] = cum[
                         n_ks + ki : n_ks + ki + 1, :
                     ] + jnp.where(pal_last > 0, add, jnp.zeros_like(add))
 
-        carry[KW + c] = v[0, TILE - 1]
+        carry[KW + c] = v[ROWS - 1, COLS - 1]
 
     # carried pal bits for every k (evaluated on the tile's last element)
     pal_bits = jnp.uint32(0)
     for ki, k in enumerate(ks):
         if k % 2 == 0:
             pal_bits = pal_bits | (
-                _pal_vec(cur, rev, k, KW).astype(jnp.uint32)[0, TILE - 1] << ki
+                pal[k].astype(jnp.uint32)[ROWS - 1, COLS - 1] << ki
             )
     carry[KW + n_ch] = pal_bits
     for wi in range(KW):
-        carry[wi] = cur[wi][0, TILE - 1]
+        carry[wi] = cur[wi][ROWS - 1, COLS - 1]
 
     @pl.when(i == n_prog - 1)
     def _():
@@ -250,11 +310,11 @@ def _scan_chunk(skeys, spay, ks, kmax, KW, G, cs, interpret=False, packed=False)
     n_ks = len(ks)
     bits = _mask_bits(G)
     n_ch = -(-n_ks // (32 // bits))
-    ins = [w.reshape(1, n) for w in skeys]
+    ins = [w.reshape(n // COLS, COLS) for w in skeys]
     if not packed:
-        ins.append(spay.reshape(1, n))
+        ins.append(spay.reshape(n // COLS, COLS))
     in_specs = [
-        pl.BlockSpec((1, TILE), lambda i: (0, i), memory_space=pltpu.VMEM)
+        pl.BlockSpec((ROWS, COLS), lambda i: (i, 0), memory_space=pltpu.VMEM)
         for _ in range(len(ins))
     ]
     out = pl.pallas_call(

@@ -85,7 +85,7 @@ def main():
         "vs_baseline": round(kmers_per_s / KMC3_BASELINE_KMERS_PER_S, 2),
     }
     try:
-        protocol = _protocol_rows(cj, gj, headline, min(times))
+        protocol = _protocol_rows(cj, gj, headline, run_grid)
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_PROTOCOL.json"), "w") as fd:
             json.dump(protocol, fd, indent=1)
@@ -96,7 +96,7 @@ def main():
     return 0 if chk != 0 else 1
 
 
-def _protocol_rows(cj, gj, headline, best_total):
+def _protocol_rows(cj, gj, headline, run_grid):
     """BASELINE.md measurement-protocol rows -> BENCH_PROTOCOL.json.
 
     Rows: the 1-chip headline, a per-stage device breakdown
@@ -105,12 +105,15 @@ def _protocol_rows(cj, gj, headline, best_total):
     row reports the 8-virtual-CPU-device SPMD validation (bit-exactness
     vs the single-device sweep) plus the analytic per-device exchange
     volume, clearly labeled as a dryrun, not a measurement.
+
+    All three stage timings are fresh min-of-REPS measurements of nested
+    prefixes of ONE pipeline (extract / extract+sort / full grid), so the
+    differences are same-methodology and clamped at >= 0.
     """
     import jax
     import jax.numpy as jnp
 
     from khoice_tpu.engine.ksweep import _extract_fwd_sweep, plan_sweep
-    from khoice_tpu.kernels.ksweep_scan_pallas import scan_multi_k_pallas
 
     classes, _rem = plan_sweep(K_GRID, N_GENOMES)
     kmax, KW, cks, packed = classes[0]
@@ -137,23 +140,26 @@ def _protocol_rows(cj, gj, headline, best_total):
         return sk[0][::1000].astype(jnp.uint32).sum()
 
     def best(f):
-        float(f(cj, gj))
-        return min(
-            (lambda t0: (float(f(cj, gj)), time.time() - t0)[1])(time.time())
-            for _ in range(REPS)
-        )
+        f()
+        times = []
+        for _ in range(REPS):
+            t0 = time.time()
+            f()
+            times.append(time.time() - t0)
+        return min(times)
 
-    te = best(extract_ck)
-    tes = best(extract_sort_ck)
+    te = best(lambda: float(extract_ck(cj, gj)))
+    tes = best(lambda: float(extract_sort_ck(cj, gj)))
+    tf = best(run_grid)
     n2 = 2 * int(cj.shape[0])
     stages = {
         "elements_doubled_text": n2,
         "sort_class": {"kmax": kmax, "key_words": KW, "payload_packed": bool(packed),
                        "ks_served": len(cks)},
         "extract_ms": round(te * 1000, 1),
-        "sort_ms": round((tes - te) * 1000, 1),
-        "scan_30ks_ms": round((best_total - tes) * 1000, 1),
-        "total_ms": round(best_total * 1000, 1),
+        "sort_ms": round(max(tes - te, 0.0) * 1000, 1),
+        "scan_30ks_ms": round(max(tf - tes, 0.0) * 1000, 1),
+        "total_ms": round(tf * 1000, 1),
     }
 
     # multi-chip: validation row (no >=2-chip hardware behind the tunnel)

@@ -36,6 +36,17 @@ BAND_COLS_T1 = [
 ]
 
 
+
+def _group_key(g: str):
+    """Numeric-aware ordering for group/dataset ids: 'group_10' sorts
+    after 'group_2' (the reference R scripts iterate unique() in the
+    CSV's numeric order; plain string sort breaks at 10+ groups)."""
+    import re
+
+    m = re.search(r"(\d+)$", g)
+    return (int(m.group(1)), g) if m else (1 << 30, g)
+
+
 def _read_csv(path: str) -> List[dict]:
     with open(path) as fd:
         return list(csv.DictReader(fd))
@@ -52,7 +63,7 @@ def plot_type1(step5_csv: str, out_path: str, band_cols: Optional[List[str]] = N
     """Stacked bars of occurrence bands per (group, k) + unique_stat curve."""
     rows = _read_csv(step5_csv)
     bands = band_cols or [c for c in rows[0] if c.startswith("percent_")]
-    groups = sorted({r["group_num"] for r in rows})
+    groups = sorted({r["group_num"] for r in rows}, key=_group_key)
     fig, axes = plt.subplots(
         2, len(groups), figsize=(4 * len(groups), 7), squeeze=False
     )
@@ -110,7 +121,7 @@ def _stacked_fill_bars(ax, sub: List[dict], bands: List[str], x_key: str = "k"):
 
 
 def _unique_stat_curves(ax, rows: List[dict], names: Optional[Sequence[str]]):
-    groups = sorted({r["group_num"] for r in rows})
+    groups = sorted({r["group_num"] for r in rows}, key=_group_key)
     for gi, group in enumerate(groups):
         sub = [r for r in rows if r["group_num"] == group]
         ks = [int(r["k"]) for r in sub]
@@ -135,7 +146,7 @@ def plot_type2(
     the reference's output file names."""
     out: List[str] = []
     within = _read_csv(within_csv)
-    groups = sorted({r["group_num"] for r in within})
+    groups = sorted({r["group_num"] for r in within}, key=_group_key)
     for pos, group in enumerate(groups, start=1):
         sub = [r for r in within if r["group_num"] == group]
         name = (
@@ -158,7 +169,7 @@ def plot_type2(
     out.append(_save(fig, os.path.join(out_dir, "within_dataset_unique_stat.png")))
 
     across = _read_csv(across_csv)
-    agroups = sorted({r["group_num"] for r in across})
+    agroups = sorted({r["group_num"] for r in across}, key=_group_key)
     for pos, group in enumerate(agroups, start=1):
         sub = [r for r in across if r["group_num"] == group]
         name = (
@@ -238,7 +249,7 @@ def plot_type4(
             tot = tp + tn + fp + fn
             per_ds.setdefault(ds, {})[kk] = (tp + tn) / tot if tot else 0.0
     fig, ax = plt.subplots(figsize=(5.5, 4))
-    for i, ds in enumerate(sorted(per_ds)):
+    for i, ds in enumerate(sorted(per_ds, key=_group_key)):
         name = (
             dataset_names[i]
             if dataset_names and i < len(dataset_names)
@@ -297,7 +308,7 @@ def plot_database_percent_bars(
         for r in _read_csv(across_csv_by_percent[pct]):
             by_group.setdefault(r["group_num"], []).append((pct, r))
     out: List[str] = []
-    for pos, group in enumerate(sorted(by_group), start=1):
+    for pos, group in enumerate(sorted(by_group, key=_group_key), start=1):
         entries = by_group[group]
         name = (
             dataset_names[pos - 1]

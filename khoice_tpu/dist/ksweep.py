@@ -36,6 +36,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..engine.bits import SENTINEL, searchsorted_words, words_eq
+from .sharded import rank_positions
 from ..engine.ksweep import (
     PACK_GID_BITS,
     PACK_NIO_BITS,
@@ -128,12 +129,8 @@ def _local_sweep(
     if not packed:
         is_pad = is_pad & (sp[KW] == 0)
     live = (~words_eq(sp, prev)).at[0].set(True) & ~is_pad
-    rank = jnp.cumsum(live.astype(jnp.int32))
-    total = rank[-1]
     n2 = sp[0].shape[0]
-    iota = jnp.arange(n2, dtype=jnp.int32)
-    keyr = jnp.where(live, rank, jnp.int32(0x7FFFFFFF))
-    _, rpos = jax.lax.sort([keyr, iota], num_keys=1, is_stable=False)
+    rank, rpos, total = rank_positions(live)
 
     # data-sampled splits on the KEY words, aligned to kmin prefixes
     splits = _sampled_splits(sp[:KW], total, n_shards, pos=rpos, gid_bits=0)
@@ -204,6 +201,58 @@ def _sweep_fn(mesh, ks, kmax, KW, n_members, n_shards, cs, bucket_cap, chunk, pa
     )
 
 
+def run_sweep_plan(
+    mesh: Mesh,
+    member_codes: Sequence[np.ndarray],
+    ks: Sequence[int],
+    cs: int,
+    cx: int,
+    bucket_cap: int | None,
+    slack: float,
+    upload,
+    to_host,
+    per_k_fallback,
+) -> Dict[int, List[int]]:
+    """Shared driver for the SPMD sweep: plan classes, slab, retry on
+    overflow, halve (d+p) per k. `upload` turns a host slab matrix into a
+    mesh-sharded array (single-host: jnp.asarray; multihost:
+    per-process assembly); `to_host` reads a replicated output; leftover
+    ks go to `per_k_fallback`."""
+    from ..engine.occurrence import pack_members
+
+    d = mesh.devices.size
+    codes, gids = pack_members(member_codes)
+    n = codes.shape[0]
+    n_members = len(member_codes)
+    classes, remaining = plan_sweep(ks, n_members)
+    out: Dict[int, List[int]] = {}
+    for kmax, KW, cks, packed in classes:
+        chunk = max(1, math.ceil(n / d))
+        slab_codes, slab_gids = _make_slab_pair(codes, gids, d, kmax)
+        gc, gg = upload(slab_codes), upload(slab_gids)
+        cap = bucket_cap
+        if cap is None:
+            # each shard contributes ~2*chunk owned elements over d buckets
+            cap = max(64, int(slack * math.ceil(2 * chunk / max(d, 1))))
+        while True:
+            fn = _sweep_fn(
+                mesh, cks, kmax, KW, n_members, d, cs, cap, chunk, packed
+            )
+            dp, overflow = fn(gc, gg)
+            if int(np.asarray(to_host(overflow))) == 0:
+                break
+            cap *= 2
+        dp = np.asarray(to_host(dp))
+        m = min(n_members, cx)
+        for i, k in enumerate(cks):
+            h = [0] * cx
+            h[:m] = ((dp[0, i, :m] + dp[1, i, :m]) // 2).tolist()
+            out[k] = h
+    for k in remaining:
+        out[k] = per_k_fallback(k)
+    return out
+
+
 def sharded_occurrence_histograms_sweep(
     mesh: Mesh,
     member_codes: Sequence[np.ndarray],
@@ -218,36 +267,13 @@ def sharded_occurrence_histograms_sweep(
 
     Runs plan_sweep's classes as SPMD programs; leftover ks (tiny grids,
     >32 members) fall back to the per-k sharded fused path."""
-    from ..engine.occurrence import pack_members
     from .occurrence import sharded_occurrence_histogram
 
-    d = mesh.devices.size
-    codes, gids = pack_members(member_codes)
-    n = codes.shape[0]
-    n_members = len(member_codes)
-    classes, remaining = plan_sweep(ks, n_members)
-    out: Dict[int, List[int]] = {}
-    for kmax, KW, cks, packed in classes:
-        chunk = max(1, math.ceil(n / d))
-        slab_codes, slab_gids = _make_slab_pair(codes, gids, d, kmax)
-        cap = bucket_cap
-        if cap is None:
-            # each shard contributes ~2*chunk owned elements over d buckets
-            cap = max(64, int(slack * math.ceil(2 * chunk / max(d, 1))))
-        while True:
-            fn = _sweep_fn(
-                mesh, cks, kmax, KW, n_members, d, cs, cap, chunk, packed
-            )
-            dp, overflow = fn(jnp.asarray(slab_codes), jnp.asarray(slab_gids))
-            if int(np.asarray(overflow)) == 0:
-                break
-            cap *= 2
-        dp = np.asarray(dp)
-        m = min(n_members, cx)
-        for i, k in enumerate(cks):
-            h = [0] * cx
-            h[:m] = ((dp[0, i, :m] + dp[1, i, :m]) // 2).tolist()
-            out[k] = h
-    for k in remaining:
-        out[k] = sharded_occurrence_histogram(mesh, member_codes, k, cs=cs, cx=cx)
-    return out
+    return run_sweep_plan(
+        mesh, member_codes, ks, cs, cx, bucket_cap, slack,
+        upload=jnp.asarray,
+        to_host=lambda x: x,
+        per_k_fallback=lambda k: sharded_occurrence_histogram(
+            mesh, member_codes, k, cs=cs, cx=cx
+        ),
+    )

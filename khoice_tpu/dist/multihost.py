@@ -109,40 +109,19 @@ def multihost_occurrence_histograms_sweep(
     slack: float = 1.7,
 ):
     """The shared-sort k-sweep (dist/ksweep.py) over a process-spanning
-    mesh: same SPMD program, inputs assembled per process. Returns
-    {k: histogram}, bit-identical to the single-host sweep for any
-    (process count, device count) yielding the same global mesh."""
-    from ..engine.ksweep import plan_sweep
-    from .ksweep import _sweep_fn
+    mesh: the SAME driver (run_sweep_plan), with per-process input
+    assembly and replicated-output readback. Returns {k: histogram},
+    bit-identical to the single-host sweep for any (process count,
+    device count) yielding the same global mesh."""
+    from functools import partial
 
-    d = mesh.devices.size
-    codes, gids = pack_members(member_codes)
-    n = codes.shape[0]
-    n_members = len(member_codes)
-    classes, remaining = plan_sweep(ks, n_members)
-    out = {}
-    for kmax, KW, cks, packed in classes:
-        chunk = max(1, math.ceil(n / d))
-        slab_codes, slab_gids = _make_slab_pair(codes, gids, d, kmax)
-        gc = _to_global(mesh, slab_codes)
-        gg = _to_global(mesh, slab_gids)
-        cap = bucket_cap
-        if cap is None:
-            cap = max(64, int(slack * math.ceil(2 * chunk / max(d, 1))))
-        while True:
-            fn = _sweep_fn(mesh, cks, kmax, KW, n_members, d, cs, cap, chunk, packed)
-            dp, overflow = fn(gc, gg)
-            if int(np.asarray(overflow.addressable_data(0))) == 0:
-                break
-            cap *= 2
-        dp = np.asarray(dp.addressable_data(0))
-        m = min(n_members, cx)
-        for i, k in enumerate(cks):
-            h = [0] * cx
-            h[:m] = ((dp[0, i, :m] + dp[1, i, :m]) // 2).tolist()
-            out[k] = h
-    for k in remaining:
-        out[k] = multihost_occurrence_histogram(
+    from .ksweep import run_sweep_plan
+
+    return run_sweep_plan(
+        mesh, member_codes, ks, cs, cx, bucket_cap, slack,
+        upload=partial(_to_global, mesh),
+        to_host=lambda x: x.addressable_data(0),
+        per_k_fallback=lambda k: multihost_occurrence_histogram(
             mesh, member_codes, k, cs=cs, cx=cx, bucket_cap=bucket_cap
-        )
-    return out
+        ),
+    )

@@ -266,14 +266,11 @@ def _local_occurrence_dyn_packed(
     # Bucketing in rank space (not raw positions) bounds each bucket by the
     # DEDUPED pair count, so a massively repeated key (poly-A runs, repeat
     # families) cannot overflow a bucket no matter its raw multiplicity.
+    from .sharded import rank_positions
+
     prev = tuple(jnp.roll(w, 1) for w in sp)
     pair_new = (~words_eq(sp, prev)).at[0].set(True) & ~words_is_sentinel(sp)
-    rank = jnp.cumsum(pair_new.astype(jnp.int32))
-    total_pairs = rank[-1]
-    # pos[t] = raw position of the pair with rank t+1 (one cheap 1-word sort)
-    iota = jnp.arange(n, dtype=jnp.int32)
-    keyr = jnp.where(pair_new, rank, jnp.int32(0x7FFFFFFF))
-    _, pos = jax.lax.sort([keyr, iota], num_keys=1, is_stable=False)
+    rank, pos, total_pairs = rank_positions(pair_new)
 
     splits = _sampled_splits(sp, total_pairs, n_shards, pos=pos)
     split_pos = searchsorted_words(sp, splits)

@@ -132,27 +132,32 @@ def _dedupe_local(keys, counts, cs):
     return ops.dedupe_sorted(tuple(sorted_ops[:w]), sorted_ops[w], cs)
 
 
-def _rank_space(ukeys):
-    """Dedup-rank structure of a sorted run-form table.
+def rank_positions(live):
+    """Rank-space structure of a boolean liveness mask over a sorted array.
 
-    Returns (rank, pos, total): rank[i] = #distinct non-sentinel runs at or
-    before position i; pos[t] = raw position of the run with rank t+1 (one
-    cheap 1-word sort); total = #distinct runs. Bucketing in rank space
-    bounds each exchange bucket by the DEDUPED key count, so a massively
-    repeated key (poly-A runs, repeat families) cannot overflow a bucket
-    no matter its raw multiplicity (same trick as dist/occurrence.py's
-    dynamic-k path)."""
+    Returns (rank, pos, total): rank[i] = #live elements at or before
+    position i; pos[t] = raw position of the (t+1)-th live element (one
+    cheap 1-word sort); total = #live. Bucketing exchanges in rank space
+    bounds each bucket by the LIVE element count, so a massively repeated
+    key (poly-A runs, repeat families) cannot overflow a bucket no matter
+    its raw multiplicity. Shared by the sharded table count
+    (live = run starts), the k-sweep (live = deduped own elements,
+    dist/ksweep.py) and the dynamic-k occurrence path."""
+    n = live.shape[0]
+    rank = jnp.cumsum(live.astype(jnp.int32))
+    total = rank[-1]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    keyr = jnp.where(live, rank, jnp.int32(0x7FFFFFFF))
+    _, pos = jax.lax.sort([keyr, iota], num_keys=1, is_stable=False)
+    return rank, pos, total
+
+
+def _rank_space(ukeys):
+    """rank_positions of a run-form table's distinct non-sentinel runs."""
     from ..engine.bits import words_is_sentinel
     from ..engine.ops import _run_starts
 
-    n = ukeys[0].shape[0]
-    is_new = _run_starts(ukeys) & ~words_is_sentinel(ukeys)
-    rank = jnp.cumsum(is_new.astype(jnp.int32))
-    total = rank[-1]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    keyr = jnp.where(is_new, rank, jnp.int32(0x7FFFFFFF))
-    _, pos = jax.lax.sort([keyr, iota], num_keys=1, is_stable=False)
-    return rank, pos, total
+    return rank_positions(_run_starts(ukeys) & ~words_is_sentinel(ukeys))
 
 
 def _partition_exchange(ukeys, ucounts, rank, pos, total, splits, bucket_cap, n_shards, cs):

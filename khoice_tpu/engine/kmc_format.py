@@ -45,13 +45,24 @@ _CODE = {"A": 0, "C": 1, "G": 2, "T": 3}
 _BASE = "ACGT"
 
 
-def default_lut_prefix(k: int) -> int:
-    """Largest p <= 12 with (k - p) % 4 == 0 and p >= 1 (whole suffix
-    bytes, bounded LUT)."""
-    for p in range(min(12, k - 1), 0, -1):
+def default_lut_prefix(k: int, total_kmers: int = 0) -> int:
+    """Largest p with (k - p) % 4 == 0, p >= 1, and a LUT sized to the
+    database (4^p <= ~4*total_kmers, like KMC's own size heuristic; cap
+    12 bounds the LUT at 32 MB for huge databases)."""
+    cap = min(12, k - 1)
+    if total_kmers > 0:
+        while cap > 1 and (1 << (2 * cap)) > 4 * total_kmers:
+            cap -= 1
+    for p in range(cap, 0, -1):
         if (k - p) % 4 == 0:
             return p
-    return 1
+    # no aligned p at or below the size cap (e.g. small k): take the
+    # smallest aligned p above it — alignment is a format requirement,
+    # the cap only an efficiency heuristic
+    for p in range(cap + 1, k):
+        if (k - p) % 4 == 0:
+            return p
+    raise ValueError(f"no valid lut prefix length for k={k}")
 
 
 def _kmer_index(kmer: str) -> int:
@@ -75,7 +86,7 @@ def write_kmc_database(
     lut_prefix_length: int | None = None,
 ) -> Tuple[str, str]:
     """Write {kmer: count} as .kmc_pre/.kmc_suf; returns the two paths."""
-    p = lut_prefix_length or default_lut_prefix(k)
+    p = lut_prefix_length or default_lut_prefix(k, len(counts))
     if (k - p) % 4 != 0:
         raise ValueError(f"suffix length {k - p} not a whole number of bytes")
     suf_bases = k - p
@@ -83,22 +94,18 @@ def write_kmc_database(
     items = sorted(counts.items())
     total = len(items)
 
-    lut = np.zeros((1 << (2 * p)) + 1, np.uint64)
+    prefixes = np.empty(total, np.int64)
     records = bytearray()
-    prev_prefix = 0
     for i, (kmer, cnt) in enumerate(items):
         if len(kmer) != k:
             raise ValueError(f"k-mer {kmer!r} is not length {k}")
         v = _kmer_index(kmer)
-        prefix = v >> (2 * suf_bases)
-        for q in range(prev_prefix + 1, prefix + 1):
-            lut[q] = i
-        prev_prefix = max(prev_prefix, prefix)
+        prefixes[i] = v >> (2 * suf_bases)
         suffix = v & ((1 << (2 * suf_bases)) - 1)
         records += int(suffix).to_bytes(suf_bytes, "big") if suf_bytes else b""
         records += int(cnt).to_bytes(counter_size, "little")
-    for q in range(prev_prefix + 1, lut.shape[0]):
-        lut[q] = total
+    # lut[q] = first record index with prefix >= q (vectorized)
+    lut = np.searchsorted(prefixes, np.arange((1 << (2 * p)) + 1)).astype(np.uint64)
 
     pre_path = path_prefix + ".kmc_pre"
     suf_path = path_prefix + ".kmc_suf"
@@ -146,15 +153,21 @@ def read_kmc_database(path_prefix: str) -> Tuple[Dict[str, int], dict]:
         raise ValueError(
             f"{suf_path}: body {len(body)}B != {total} records x {rec}B"
         )
+    body_arr = np.frombuffer(body, np.uint8).reshape(total, rec) if total else np.zeros((0, rec), np.uint8)
+    suf_arr = body_arr[:, :suf_bytes]
+    cnt_arr = body_arr[:, suf_bytes:].astype(np.uint64)
+    cnt_vals = (cnt_arr * (np.uint64(256) ** np.arange(counter_size, dtype=np.uint64))).sum(1)
+    # byte -> 4-base string table (first base in the high 2 bits)
+    byte4 = [
+        "".join(_BASE[(b >> (2 * (3 - j))) & 3] for j in range(4)) for b in range(256)
+    ]
     out: Dict[str, int] = {}
-    for prefix in range(1 << (2 * p)):
-        lo, hi = int(lut[prefix]), int(lut[prefix + 1])
-        for i in range(lo, hi):
-            off = i * rec
-            suffix = int.from_bytes(body[off : off + suf_bytes], "big") if suf_bytes else 0
-            cnt = int.from_bytes(body[off + suf_bytes : off + rec], "little")
-            v = (prefix << (2 * suf_bases)) | suffix
-            out[_index_kmer(v, k)] = cnt
+    starts, ends = lut[:-1], lut[1:]
+    for prefix in np.nonzero(ends > starts)[0]:
+        pre_str = _index_kmer(int(prefix), p)
+        for i in range(int(starts[prefix]), int(ends[prefix])):
+            suffix_str = "".join(byte4[b] for b in suf_arr[i])
+            out[pre_str + suffix_str] = int(cnt_vals[i])
     params = {
         "kmer_length": k,
         "mode": mode,

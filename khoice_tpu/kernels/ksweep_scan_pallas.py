@@ -214,7 +214,6 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed):
     key_new = [_key_new_vec(cur, prev, k, KW) for k in ks]
     rev = _rev2comp_vec(cur)
     pal = {k: _pal_vec(cur, rev, k, KW) for k in ks if k % 2 == 0}
-    first = (_row_iota(cur[0].shape) == 0) & (_col_iota(cur[0].shape) == 0)
 
     base = jnp.uint32(1) << gid  # one-hot gid, fits in the low `bits` bits
     for c in range(n_ch):

@@ -159,7 +159,9 @@ class QualityHmm:
         ctrans = np.cumsum(self.trans, axis=1)
         u = rng.random(n)
         for i in range(1, n):
-            states[i] = np.searchsorted(ctrans[states[i - 1]], u[i])
+            # clamp: float cumsum tails can end below 1.0, and a uniform
+            # draw above them would index past the last state
+            states[i] = min(np.searchsorted(ctrans[states[i - 1]], u[i]), s - 1)
         cemit = np.cumsum(self.emit, axis=1)
         ue = rng.random(n)
         quals = np.array(

@@ -248,7 +248,29 @@ def _run_one(cfg: KhoiceConfig, args, db, exp0_root: str) -> int:
     return 0
 
 
+def _enable_persistent_compile_cache() -> None:
+    """Persist XLA compiles across CLI processes.
+
+    The sweep compiles once per (word class, shape bucket); without a disk
+    cache every fresh process pays those compiles again — measured at
+    ~160 s of a 170 s realistic-scale exp1 run. KHOICE_COMPILE_CACHE
+    overrides the location; set it empty to disable."""
+    cache = os.environ.get("KHOICE_COMPILE_CACHE",
+                           os.path.expanduser("~/.cache/khoice-jax"))
+    if not cache:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    except Exception as e:  # never block the run on cache config
+        get_logger("khoice.cli").warning("compile cache disabled: %r", e)
+
+
 def main(argv=None) -> int:
+    _enable_persistent_compile_cache()
     parser = argparse.ArgumentParser(
         prog="khoice-tpu",
         description="TPU-native k-mer discriminatory-power analysis engine",

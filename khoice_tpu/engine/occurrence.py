@@ -324,6 +324,22 @@ def _pallas_ok(n: int, n_members: int) -> bool:
     return n % TILE == 0 and n_members <= BINS_PAD and compute_on_tpu()
 
 
+def _padded_len(n: int) -> int:
+    """Geometric shape bucketing for packed inputs.
+
+    Pad to a multiple of 2^(floor(log2 n) - 3), i.e. at most 8 distinct
+    shapes per size octave and <= 12.5% padding waste. Bounds compile
+    variety: every distinct shape costs a fresh XLA compile (~30 s for
+    the sweep program over the dev tunnel), which dominated end-to-end
+    wall time when a 1 MiB granule gave every dataset its own shape.
+    Small inputs (< 8 MiB) keep the old scheme (1 MiB granule / pow2)."""
+    n = max(int(n), 1024)
+    if n <= (1 << 20):
+        return 1 << (n - 1).bit_length()
+    granule = max(1 << 20, 1 << (max(n.bit_length() - 1, 0) - 3))
+    return ((n + granule - 1) // granule) * granule
+
+
 def _member_layout(member_codes: Sequence[np.ndarray]):
     """(concatenated codes incl. separators, member start offsets, padded
     length): the shared layout of pack_members / pack_members_device."""
@@ -334,10 +350,7 @@ def _member_layout(member_codes: Sequence[np.ndarray]):
         parts.append(np.full(1, 4, np.uint8))
         starts.append(starts[-1] + codes.shape[0] + 1)
     codes = np.concatenate(parts)
-    granule = 1 << 20
-    n = max(int(codes.shape[0]), 1024)
-    p = ((n + granule - 1) // granule) * granule if n > granule else 1 << (n - 1).bit_length()
-    return codes, np.asarray(starts[:-1], np.int64), int(p)
+    return codes, np.asarray(starts[:-1], np.int64), _padded_len(codes.shape[0])
 
 
 @partial(jax.jit, static_argnums=(3,))
@@ -405,12 +418,7 @@ def pack_members(member_codes: Sequence[np.ndarray]):
         gparts.append(np.full(codes.shape[0] + 1, gid, np.uint32))
     codes = np.concatenate(parts)
     gids = np.concatenate(gparts)
-    # pad to a 1 MiB granule: bounded compile variety, <=6% waste on real
-    # genomes (pow2 padding would waste up to 2x sort volume)
-    granule = 1 << 20
-    n = max(int(codes.shape[0]), 1024)
-    p = ((n + granule - 1) // granule) * granule if n > granule else 1 << (n - 1).bit_length()
-    pad = p - codes.shape[0]
+    pad = _padded_len(codes.shape[0]) - codes.shape[0]
     codes = np.concatenate([codes, np.full(pad, 4, np.uint8)])
     gids = np.concatenate([gids, np.zeros(pad, np.uint32)])
     return codes, gids

@@ -28,7 +28,7 @@ def main():
         _sweep_class_fn,
         _sweep_pallas_ok,
         occurrence_histograms_sweep_packed,
-        sweep_classes,
+        plan_sweep,
     )
     from khoice_tpu.engine.occurrence import occurrence_histogram_packed, pack_members
 
@@ -41,29 +41,30 @@ def main():
     use_pallas = _sweep_pallas_ok(n2, N_GENOMES)
     print(f"n={codes.shape[0]} doubled={n2} pallas={use_pallas}")
 
-    classes = sweep_classes(K_GRID)
+    classes, rest = plan_sweep(K_GRID, N_GENOMES)
+    assert not rest, rest
     fns = []
-    for kmax, KW, cks in classes:
+    for kmax, KW, cks, packed in classes:
         t0 = time.time()
-        out = _sweep_class_fn(cj, gj, cks, kmax, KW, N_GENOMES, 5000, use_pallas)
+        out = _sweep_class_fn(cj, gj, cks, kmax, KW, N_GENOMES, 5000, use_pallas, packed)
         np.asarray(out)
-        print(f"class kmax={kmax} KW={KW} ks={len(cks)}: compile+run {time.time()-t0:.1f}s")
-        fns.append((kmax, KW, cks))
+        print(f"class kmax={kmax} KW={KW} ks={len(cks)} packed={packed}: compile+run {time.time()-t0:.1f}s")
+        fns.append((kmax, KW, cks, packed))
 
     # timing: per class and total
     total_best = 1e9
     per_class = {}
     for _ in range(REPS):
         t_all = 0.0
-        for kmax, KW, cks in fns:
+        for kmax, KW, cks, packed in fns:
             t0 = time.time()
-            np.asarray(_sweep_class_fn(cj, gj, cks, kmax, KW, N_GENOMES, 5000, use_pallas))
+            np.asarray(_sweep_class_fn(cj, gj, cks, kmax, KW, N_GENOMES, 5000, use_pallas, packed))
             dt = time.time() - t0
             t_all += dt
             per_class[kmax] = min(per_class.get(kmax, 1e9), dt)
         total_best = min(total_best, t_all)
     n_kmers = len(K_GRID) * N_GENOMES * GENOME_LEN
-    for kmax, KW, cks in fns:
+    for kmax, KW, cks, packed in fns:
         print(f"class kmax={kmax}: {per_class[kmax]*1e3:7.1f} ms for {len(cks)} ks "
               f"({len(cks)*N_GENOMES*GENOME_LEN/per_class[kmax]/1e6:.0f} Mkmer/s)")
     print(f"TOTAL grid: {total_best*1e3:.1f} ms = {n_kmers/total_best/1e6:.0f} Mkmer/s "

@@ -327,8 +327,8 @@ def _pallas_ok(n: int, n_members: int) -> bool:
 def _padded_len(n: int) -> int:
     """Geometric shape bucketing for packed inputs.
 
-    Pad to a multiple of 2^(floor(log2 n) - 3), i.e. at most 8 distinct
-    shapes per size octave and <= 12.5% padding waste. Bounds compile
+    Pad to a multiple of 2^(floor(log2 n) - 4), i.e. at most 16 distinct
+    shapes per size octave and <= 6.25% padding waste. Bounds compile
     variety: every distinct shape costs a fresh XLA compile (~30 s for
     the sweep program over the dev tunnel), which dominated end-to-end
     wall time when a 1 MiB granule gave every dataset its own shape.
@@ -336,7 +336,7 @@ def _padded_len(n: int) -> int:
     n = max(int(n), 1024)
     if n <= (1 << 20):
         return 1 << (n - 1).bit_length()
-    granule = max(1 << 20, 1 << (max(n.bit_length() - 1, 0) - 3))
+    granule = max(1 << 20, 1 << (max(n.bit_length() - 1, 0) - 4))
     return ((n + granule - 1) // granule) * granule
 
 

@@ -150,9 +150,13 @@ def _extract_fwd_sweep(codes2, gids2, kmax: int, KW: int, packed: bool = False):
     cp = jnp.concatenate([codes2, jnp.full((16 * KW,), 4, codes2.dtype)])
     valid = cp < 4
     d2 = jnp.where(valid, cp.astype(jnp.uint32) & 3, jnp.uint32(0))
-    w = jnp.zeros((m,), jnp.uint32)
-    for j in range(16):
-        w = (w << 2) | d2[j : j + m]
+    # logarithmic doubling: pairs -> quads -> bytes -> 16-base words
+    # (4 shift-or steps instead of 16; pk[i] packs 2^s bases from i)
+    w = d2
+    for s in range(4):
+        span = 1 << s  # bases per element before this step
+        w = (w[: w.shape[0] - span] << (2 * span)) | w[span:]
+    w = w[:m]
     fwd = tuple(w[16 * wi : 16 * wi + n] for wi in range(KW))
     # zero the spare low bits (bases beyond kmax in the last word)
     spare = KW * 32 - 2 * kmax

@@ -1,0 +1,64 @@
+#!/usr/bin/env python3
+"""Hardware bit-exactness gate: master-class sweep vs per-k fused path.
+
+Runs the full reference 30-point k grid over adversarial data (shared
+mutated cores, N runs, poly-A blocks, record separators) on the REAL
+device and asserts every k's occurrence histogram from the shared-sort
+sweep (engine/ksweep.py + the Pallas multi-k kernel) is bit-identical to
+the independent per-k fused path (engine/occurrence.py). The CPU test
+suite covers the same property in interpret mode; this script is the
+on-hardware counterpart (Mosaic-compiled kernel, real sort).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/khoice-jax"))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+
+    from khoice_tpu.engine.ksweep import occurrence_histograms_sweep_packed
+    from khoice_tpu.engine.occurrence import (
+        occurrence_histogram_packed,
+        pack_members,
+    )
+
+    n_genomes = 8
+    rng = np.random.default_rng(3)
+    core = rng.integers(0, 4, size=200_000, dtype=np.uint8)
+    members = []
+    for m in range(n_genomes):
+        g = core.copy()
+        idx = rng.integers(0, g.shape[0], size=3000 * (m + 1))
+        g[idx] = rng.integers(0, 4, size=idx.shape[0])
+        g[1000:1400] = 4  # N run
+        tail = rng.integers(0, 4, size=50_000, dtype=np.uint8)
+        members.append(np.concatenate([g, np.zeros(5000, np.uint8), tail]))
+    codes, gids = pack_members(members)
+    packed = (jnp.asarray(codes), jnp.asarray(gids))
+    k_grid = list(range(7, 31)) + [34, 37, 40, 43, 46, 49]
+
+    sweep = occurrence_histograms_sweep_packed(packed, n_genomes, k_grid,
+                                               cs=5000, cx=16)
+    bad = 0
+    for k in k_grid:
+        want = occurrence_histogram_packed(packed, n_genomes, k, cs=5000, cx=16)
+        if sweep[k] != want:
+            bad += 1
+            print(f"MISMATCH k={k}: {sweep[k][:10]} vs {want[:10]}")
+    print("OK all 30 ks bit-identical" if bad == 0 else f"{bad} mismatches")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

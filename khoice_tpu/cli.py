@@ -253,20 +253,22 @@ def _enable_persistent_compile_cache() -> None:
 
     The sweep compiles once per (word class, shape bucket); without a disk
     cache every fresh process pays those compiles again — measured at
-    ~160 s of a 170 s realistic-scale exp1 run. KHOICE_COMPILE_CACHE
-    overrides the location; set it empty to disable."""
-    cache = os.environ.get("KHOICE_COMPILE_CACHE",
-                           os.path.expanduser("~/.cache/khoice-jax"))
+    ~160 s of a 170 s realistic-scale exp1 run. Sets env vars only (jax
+    reads them at import), so --help and argument errors never pay the
+    jax/tunnel import. Precedence: KHOICE_COMPILE_CACHE (empty string
+    disables) > a user's own JAX_COMPILATION_CACHE_DIR > the default
+    ~/.cache/khoice-jax."""
+    cache = os.environ.get(
+        "KHOICE_COMPILE_CACHE",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.cache/khoice-jax")),
+    )
     if not cache:
         return
-    try:
-        import jax
-
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    except Exception as e:  # never block the run on cache config
-        get_logger("khoice.cli").warning("compile cache disabled: %r", e)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
+    os.environ["JAX_COMPILATION_CACHE_DIR"] = cache
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 
 def main(argv=None) -> int:

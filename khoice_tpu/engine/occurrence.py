@@ -327,12 +327,14 @@ def _pallas_ok(n: int, n_members: int) -> bool:
 def _padded_len(n: int) -> int:
     """Geometric shape bucketing for packed inputs.
 
-    Pad to a multiple of 2^(floor(log2 n) - 4), i.e. at most 16 distinct
-    shapes per size octave and <= 6.25% padding waste. Bounds compile
-    variety: every distinct shape costs a fresh XLA compile (~30 s for
-    the sweep program over the dev tunnel), which dominated end-to-end
-    wall time when a 1 MiB granule gave every dataset its own shape.
-    Small inputs (< 8 MiB) keep the old scheme (1 MiB granule / pow2)."""
+    Above 32 MiB: pad to a multiple of 2^(floor(log2 n) - 4) — at most 16
+    distinct shapes per size octave, <= 6.25% padding waste. Below 32 MiB
+    the 1 MiB-granule clamp keeps the previous scheme (waste up to ~2x
+    only for inputs just past a small power of two, <= ~6% above 16 MiB).
+    Bounds compile variety: every distinct shape costs a fresh XLA
+    compile (~30 s for the sweep program over the dev tunnel), which
+    dominated end-to-end wall time when a 1 MiB granule gave every
+    dataset its own shape."""
     n = max(int(n), 1024)
     if n <= (1 << 20):
         return 1 << (n - 1).bit_length()

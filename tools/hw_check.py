@@ -14,24 +14,33 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.expanduser("~/.cache/khoice-jax"))
 
 import numpy as np
+
+from khoice_tpu.cli import _enable_persistent_compile_cache
+
+_enable_persistent_compile_cache()
 
 
 def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.environ["JAX_COMPILATION_CACHE_DIR"])
-
-    from khoice_tpu.engine.ksweep import occurrence_histograms_sweep_packed
+    from khoice_tpu.engine.ksweep import (
+        _sweep_pallas_ok,
+        occurrence_histograms_sweep_packed,
+    )
     from khoice_tpu.engine.occurrence import (
         occurrence_histogram_packed,
         pack_members,
     )
+
+    backend = jax.default_backend()
+    if backend == "cpu":
+        print("FAIL: running on the CPU backend — the Pallas kernel and "
+              "device sort this gate exists to exercise are not in play "
+              "(the CPU suite already covers interpret mode)")
+        return 2
 
     n_genomes = 8
     rng = np.random.default_rng(3)
@@ -47,6 +56,11 @@ def main() -> int:
     codes, gids = pack_members(members)
     packed = (jnp.asarray(codes), jnp.asarray(gids))
     k_grid = list(range(7, 31)) + [34, 37, 40, 43, 46, 49]
+
+    if not _sweep_pallas_ok(2 * int(codes.shape[0]), n_genomes):
+        print("FAIL: the sweep would take the XLA fallback, not the Pallas "
+              "kernel — the gate would compare the same code against itself")
+        return 2
 
     sweep = occurrence_histograms_sweep_packed(packed, n_genomes, k_grid,
                                                cs=5000, cx=16)

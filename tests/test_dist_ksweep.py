@@ -69,3 +69,17 @@ def test_sharded_sweep_fallback_per_k(rng):
     want = occurrence_histograms_sweep(codes, ks, cs=5000, cx=8)
     for k in ks:
         assert got[k] == want[k]
+
+
+def test_sharded_sweep_overflow_retry(rng):
+    """A tiny bucket cap forces the overflow-doubling path; results stay
+    bit-exact after the retries."""
+    mesh = make_mesh(devices=cpu_devices(8))
+    codes = _members(rng, n=3, glen=1000)
+    ks = [9, 13, 17]
+    got = sharded_occurrence_histograms_sweep(
+        mesh, codes, ks, cs=5000, cx=8, bucket_cap=16
+    )
+    want = occurrence_histograms_sweep(codes, ks, cs=5000, cx=8)
+    for k in ks:
+        assert got[k] == want[k], f"k={k}"

@@ -234,6 +234,7 @@ def run_sweep_plan(
         if cap is None:
             # each shard contributes ~2*chunk owned elements over d buckets
             cap = max(64, int(slack * math.ceil(2 * chunk / max(d, 1))))
+        balanced_cap = cap
         while True:
             fn = _sweep_fn(
                 mesh, cks, kmax, KW, n_members, d, cs, cap, chunk, packed
@@ -242,6 +243,19 @@ def run_sweep_plan(
             if int(np.asarray(to_host(overflow))) == 0:
                 break
             cap *= 2
+        if cap > balanced_cap:
+            # splits are aligned down to 2*kmin-bit prefixes, so heavily
+            # skewed data at small kmin can degrade toward one shard
+            # holding most elements — surface it instead of silently
+            # paying the memory/work (ADVICE r3)
+            from ..utils.logging import get_logger
+
+            get_logger("khoice.dist.ksweep").warning(
+                "sweep class kmax=%d: bucket_cap doubled %d -> %d past the "
+                "balanced estimate (skewed key distribution at kmin=%d "
+                "prefix granularity); shard balance is degraded",
+                kmax, balanced_cap, cap, min(cks),
+            )
         dp = np.asarray(to_host(dp))
         m = min(n_members, cx)
         for i, k in enumerate(cks):

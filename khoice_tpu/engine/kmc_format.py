@@ -68,7 +68,14 @@ def default_lut_prefix(k: int, total_kmers: int = 0) -> int:
 def _kmer_index(kmer: str) -> int:
     v = 0
     for ch in kmer:
-        v = (v << 2) | _CODE[ch]
+        code = _CODE.get(ch)
+        if code is None:
+            raise ValueError(
+                f"k-mer {kmer!r} contains non-ACGT character {ch!r}: KMC "
+                "databases store 2-bit-packed bases only (dumps never "
+                "contain N or IUPAC codes)"
+            )
+        v = (v << 2) | code
     return v
 
 
@@ -157,17 +164,24 @@ def read_kmc_database(path_prefix: str) -> Tuple[Dict[str, int], dict]:
     suf_arr = body_arr[:, :suf_bytes]
     cnt_arr = body_arr[:, suf_bytes:].astype(np.uint64)
     cnt_vals = (cnt_arr * (np.uint64(256) ** np.arange(counter_size, dtype=np.uint64))).sum(1)
-    # byte -> 4-base string table (first base in the high 2 bits)
-    byte4 = [
-        "".join(_BASE[(b >> (2 * (3 - j))) & 3] for j in range(4)) for b in range(256)
-    ]
-    out: Dict[str, int] = {}
-    starts, ends = lut[:-1], lut[1:]
-    for prefix in np.nonzero(ends > starts)[0]:
-        pre_str = _index_kmer(int(prefix), p)
-        for i in range(int(starts[prefix]), int(ends[prefix])):
-            suffix_str = "".join(byte4[b] for b in suf_arr[i])
-            out[pre_str + suffix_str] = int(cnt_vals[i])
+    # vectorized decode (multi-million-record databases): byte -> 4-base
+    # string table (first base in the high 2 bits), np.char.add across the
+    # suffix byte columns, prefixes repeated per LUT bucket
+    byte4 = np.array(
+        [
+            "".join(_BASE[(b >> (2 * (3 - j))) & 3] for j in range(4))
+            for b in range(256)
+        ],
+        dtype="<U4",
+    )
+    starts, ends = lut[:-1].astype(np.int64), lut[1:].astype(np.int64)
+    sizes = ends - starts
+    live = np.nonzero(sizes > 0)[0]
+    prefix_strs = np.array([_index_kmer(int(q), p) for q in live], dtype=f"<U{p}")
+    kmer_strs = np.repeat(prefix_strs, sizes[live]).astype(f"<U{k}")
+    for col in range(suf_bytes):
+        kmer_strs = np.char.add(kmer_strs, byte4[suf_arr[:, col]])
+    out: Dict[str, int] = dict(zip(kmer_strs.tolist(), cnt_vals.astype(int).tolist()))
     params = {
         "kmer_length": k,
         "mode": mode,

@@ -25,9 +25,10 @@ DOUBLED text (each genome followed by its reverse complement):
   * per-position validity is carried as nio = #consecutive valid bases from
     the position (capped at kmax): the element participates for k iff
     nio >= k, which handles N bases, record separators and short contigs
-    exactly (bases past nio are A-padded in the key; such elements either
-    land inside a real run — where the mask silences them — or form
-    all-masked phantom runs that contribute nothing).
+    exactly (invalid positions pack as 0, and real base values after them
+    stay in the key — harmless garbage, because an element is only ever
+    read at k <= nio, whose top-2k bits cover valid bases only; see
+    _extract_fwd_sweep).
   * distinct genomes per run need no gid adjacency: a segmented OR-scan of
     one-hot gid bitmasks over each k-run, popcount at run ends.
 

@@ -40,6 +40,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..engine.ksweep import PACK_GID_BITS, PACK_NIO_BITS
+
 ROWS = 128
 COLS = 128
 TILE = ROWS * COLS  # 16384, small enough that live scan state fits VMEM
@@ -199,9 +201,9 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed):
     cur = [keys_ref[wi][:] for wi in range(KW)]  # (ROWS, COLS)
     if packed:
         # payload rides the last key word's spare low bits (engine/ksweep
-        # PACK_GID_BITS/PACK_NIO_BITS layout: gid << 6 | nio)
-        gid = (cur[KW - 1] >> 6) & jnp.uint32(0x1F)
-        nio = cur[KW - 1] & jnp.uint32(0x3F)
+        # PACK_GID_BITS/PACK_NIO_BITS layout: gid << PACK_NIO_BITS | nio)
+        gid = (cur[KW - 1] >> PACK_NIO_BITS) & jnp.uint32((1 << PACK_GID_BITS) - 1)
+        nio = cur[KW - 1] & jnp.uint32((1 << PACK_NIO_BITS) - 1)
     else:
         pay = refs[KW][:]
         gid = (pay >> 8) & jnp.uint32(0xFF)

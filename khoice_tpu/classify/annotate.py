@@ -98,6 +98,66 @@ def build_annotation(pivot: KmerTable, groups: List[KmerTable]) -> Annotation:
     return Annotation(keys, pivot_count, mask, d, pivot.k)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _group_mask_annotate(codes_gids, k):
+    """ONE canonical sort of all group texts -> (keys, dataset mask).
+
+    codes/gids are pack_members output with one member per dataset; the
+    mask (bit d = dataset d contains the key) is a reverse segmented OR
+    of one-hot gids, valid at each run's FIRST slot — where
+    searchsorted-based lookups land (read_votes)."""
+    from ..engine.occurrence import (
+        GID_BITS,
+        occ_words_static,
+        pack_gid_static,
+        unpack_keys_static,
+    )
+    from ..engine.extract import extract_canonical
+
+    codes, gids = codes_gids
+    keys, valid = extract_canonical(codes, k)
+    packed = pack_gid_static(keys, valid, gids, k)
+    ow = occ_words_static(k)
+    sp = tuple(jax.lax.sort(list(packed), num_keys=ow, is_stable=False))
+    prev = tuple(jnp.roll(w, 1) for w in sp)
+    key_eq = (sp[-1] >> GID_BITS) == (prev[-1] >> GID_BITS)
+    for i in range(ow - 1):
+        key_eq = key_eq & (sp[i] == prev[i])
+    key_new = (~key_eq).at[0].set(True)
+    gid = sp[-1] & jnp.uint32((1 << GID_BITS) - 1)
+    onehot = jnp.uint32(1) << gid
+    run_end = jnp.roll(key_new, -1).at[-1].set(True)
+
+    def seg_or(m, boundary):
+        def comb(a, b):
+            (ma, fa), (mb, fb) = a, b
+            return jnp.where(fb, mb, ma | mb), fa | fb
+
+        out, _ = jax.lax.associative_scan(comb, (m, boundary))
+        return out
+
+    mask = seg_or(onehot[::-1], run_end[::-1])[::-1]
+    mask = jnp.where(words_is_sentinel(sp), 0, mask)
+    return unpack_keys_static(sp, k), mask
+
+
+def build_group_mask_annotation(group_codes: List[np.ndarray], k: int) -> Annotation:
+    """Annotation over ALL datasets' texts in ONE sort — the exp6 fast path.
+
+    Replaces per-dataset group tables + the merge sort of build_annotation
+    for read-level voting, which ignores pivot_count: lookups of read
+    k-mers against this global table yield exactly the same dataset masks
+    (a k-mer in no group has mask 0 = unmatched, whether or not the key
+    exists in the table — src/merge_lists.py:151-183 semantics)."""
+    d = len(group_codes)
+    assert 1 <= d <= 32, "dataset mask is a uint32 bitmask"
+    from ..engine.occurrence import pack_members
+
+    codes, gids = pack_members(group_codes)
+    keys, mask = _group_mask_annotate((jnp.asarray(codes), jnp.asarray(gids)), k)
+    return Annotation(keys, jnp.zeros_like(mask), mask, d, k)
+
+
 @partial(jax.jit, static_argnums=(3,))
 def _feature_buckets(pivot_count, mask, _sentinel, num_datasets):
     """bucket[d, m-1] = total pivot count of keys in dataset d with |M| = m;

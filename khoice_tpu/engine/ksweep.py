@@ -285,6 +285,22 @@ def _scan_multi_k_xla(
     return jnp.stack([(d + p) // 2 for d, p in zip(hists_d, hists_p)])
 
 
+def _sweep_doubled(codes, gids, kmax, KW, packed):
+    """Doubled text (codes ++ revcomp) -> extracted forward kmax-mer
+    elements -> ONE sorted array: (skeys tuple, payload or None).  The
+    shared front half of every sweep consumer (exp1 histograms and the
+    classification scans in ksweep_classify.py)."""
+    rc = jnp.where(codes < 4, codes ^ 3, codes)[::-1]
+    codes2 = jnp.concatenate([codes, rc])
+    gids2 = jnp.concatenate([gids, gids[::-1]])
+    fwd, payload = _extract_fwd_sweep(codes2, gids2, kmax, KW, packed=packed)
+    if packed:
+        skeys = tuple(jax.lax.sort(list(fwd), num_keys=KW, is_stable=False))
+        return skeys, None
+    ops = jax.lax.sort(list(fwd) + [payload], num_keys=KW, is_stable=False)
+    return tuple(ops[:KW]), ops[KW]
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
 def _sweep_class_fn(codes, gids, ks, kmax, KW, n_members, cs, use_pallas, packed=False):
     """All of `ks`'s canonical occurrence histograms from one doubled-text
@@ -292,16 +308,7 @@ def _sweep_class_fn(codes, gids, ks, kmax, KW, n_members, cs, use_pallas, packed
     uint32 [n]. packed=True drops the payload operand from the sort (gid +
     nio ride the last key word's spare bits). Returns
     (len(ks), n_members) int32."""
-    rc = jnp.where(codes < 4, codes ^ 3, codes)[::-1]
-    codes2 = jnp.concatenate([codes, rc])
-    gids2 = jnp.concatenate([gids, gids[::-1]])
-    fwd, payload = _extract_fwd_sweep(codes2, gids2, kmax, KW, packed=packed)
-    if packed:
-        skeys = tuple(jax.lax.sort(list(fwd), num_keys=KW, is_stable=False))
-        spay = None
-    else:
-        ops = jax.lax.sort(list(fwd) + [payload], num_keys=KW, is_stable=False)
-        skeys, spay = tuple(ops[:KW]), ops[KW]
+    skeys, spay = _sweep_doubled(codes, gids, kmax, KW, packed)
     if use_pallas:
         from ..kernels.ksweep_scan_pallas import scan_multi_k_pallas
 

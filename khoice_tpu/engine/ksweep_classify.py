@@ -1,0 +1,373 @@
+"""Shared-sort k-sweep for the classification experiments (exp2/3/4).
+
+engine/ksweep.py removes the per-k sort from exp1 by computing every k's
+occurrence histogram from ONE doubled-text forward-prefix sort.  The
+classification pipelines were still paying one sort per (k, dataset)
+(round-3 VERDICT): exp2 intersect/subtract histograms
+(workflow/rules/exp_type_2.smk:354-380), exp3 containment percentages
+(exp_type_3.smk:281-320) and exp4 feature buckets
+(exp_type_4.smk:247-294 + src/merge_lists.py:134-149) each re-sorted the
+group text per grid point.  All of those quantities are functions of the
+SAME sorted run structure the sweep already builds:
+
+- pack the pivot (genome, reads or read-sets) as member 0 and the
+  comparison sets as further members — the segmented one-hot-gid OR scan
+  then gives every run (= k-mer class on one strand) its full
+  member-presence bitmask for every k at once;
+- "subtract" classes are runs whose mask is exactly the pivot bit,
+  "intersect -ocsum" histograms bin runs by popcount of the rest bits,
+  containment numerators count runs carrying (query bit & group bit),
+  and exp4's count-weighted buckets ride a segmented SUM of pivot
+  elements next to the OR scan;
+- the doubled-text strand duplication is handled exactly as in exp1:
+  every stat is computed for all runs (d) and for palindromic runs (p),
+  and the canonical value is (d + p) // 2.  Count-weighted stats halve a
+  palindromic run's pivot multiplicity BEFORE saturation (a palindromic
+  class's single run holds both strands' occurrences).
+
+The scans are XLA (associative_scan) rather than Pallas: the shared sort
+dominates device time and is amortized over the whole k grid, which is
+the 30x win these pipelines were missing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ksweep import (
+    NIO_BITS,
+    PACK_GID_BITS,
+    PACK_NIO_BITS,
+    _extract_fwd_sweep,
+    _key_new_mask,
+    _pal_mask,
+    _rev2comp_words,
+    _seg_or_scan,
+    plan_sweep,
+)
+
+
+def _seg_sum_scan(v, boundary):
+    """Inclusive segmented SUM scan (reset at boundary; boundary[0] True)."""
+
+    def comb(a, b):
+        (va, fa), (vb, fb) = a, b
+        return jnp.where(fb, vb, va + vb), fa | fb
+
+    out, _ = jax.lax.associative_scan(comb, (v, boundary))
+    return out
+
+
+def _per_k_runs(skeys, spayload, k, kmax, KW, packed, prev, rev, gid, nio,
+                with_pivot_sum=False, pivot_gid=0):
+    """Per-element run quantities for one k over the shared sort.
+
+    Returns (run_end, mask, pal, psum): run_end marks each run's last
+    element, mask/psum are the run totals (valid AT run_end), pal is the
+    palindrome flag of the run's key prefix."""
+    key_new = _key_new_mask(skeys, prev, k, KW).at[0].set(True)
+    m = jnp.where(nio >= k, jnp.uint32(1) << gid, jnp.uint32(0))
+    or_scan = _seg_or_scan(m, key_new)
+    run_end = jnp.roll(key_new, -1).at[-1].set(True)
+    pal = _pal_mask(skeys, rev, k, KW) if k % 2 == 0 else None
+    psum = None
+    if with_pivot_sum:
+        pm = jnp.where((nio >= k) & (gid == pivot_gid), jnp.uint32(1), jnp.uint32(0))
+        psum = _seg_sum_scan(pm, key_new)
+    return run_end, or_scan, pal, psum
+
+
+def _scan_prelude(skeys, spayload, packed):
+    prev = tuple(jnp.roll(w, 1) for w in skeys)
+    if packed:
+        gid = (skeys[-1] >> PACK_NIO_BITS) & jnp.uint32((1 << PACK_GID_BITS) - 1)
+        nio = skeys[-1] & jnp.uint32((1 << PACK_NIO_BITS) - 1)
+    else:
+        gid = (spayload >> NIO_BITS) & jnp.uint32(0xFF)
+        nio = spayload & jnp.uint32((1 << NIO_BITS) - 1)
+    rev = _rev2comp_words(skeys)
+    return prev, rev, gid, nio
+
+
+def _canon(stat_d, stat_p):
+    return (stat_d + stat_p) // 2
+
+
+# --------------------------------------------------------------------------
+# exp2 within: pivot (bit 0) vs rest members (bits 1..n_rest)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def _sweep_class_pivot_rest(codes, gids, ks, kmax, KW, n_rest, cs, packed):
+    """(len(ks), n_rest+1) int32: [ki, j] = #canonical classes present in
+    the pivot (member 0) and in exactly j of the rest members (1..n_rest).
+
+    j = 0 -> `kmers_subtract` classes (all count 1); j >= 1 -> the
+    `intersect -ocsum` class count at intersection count 1 + j
+    (reference exp_type_2.smk:354-380 semantics)."""
+    from .ksweep import _sweep_doubled
+
+    skeys, spay = _sweep_doubled(codes, gids, kmax, KW, packed)
+    prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
+    rest_mask = jnp.uint32(((1 << (n_rest + 1)) - 1) & ~1)
+
+    rows = []
+    for k in ks:
+        run_end, orv, pal, _ = _per_k_runs(
+            skeys, spay, k, kmax, KW, packed, prev, rev, gid, nio
+        )
+        sel = run_end & ((orv & 1) == 1)
+        occ = jax.lax.population_count(orv & rest_mask)
+        d = jnp.stack(
+            [jnp.sum((sel & (occ == j)).astype(jnp.int32)) for j in range(n_rest + 1)]
+        )
+        if k % 2 == 0:
+            selp = sel & pal
+            p = jnp.stack(
+                [
+                    jnp.sum((selp & (occ == j)).astype(jnp.int32))
+                    for j in range(n_rest + 1)
+                ]
+            )
+        else:
+            p = jnp.zeros((n_rest + 1,), jnp.int32)
+        rows.append(_canon(d, p))
+    return jnp.stack(rows)
+
+
+# --------------------------------------------------------------------------
+# exp2 across: pivots (bits 0..D-1) vs group sets (bits D..2D-1)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
+def _sweep_class_multi_pivot(codes, gids, ks, kmax, KW, D, cs, packed):
+    """(len(ks), D, D) int32: [ki, num, j] = #canonical classes present in
+    pivot `num` and in exactly j of the OTHER datasets' group sets
+    (pivot num's own group excluded, exp_type_2.smk:263-283)."""
+    from .ksweep import _sweep_doubled
+
+    skeys, spay = _sweep_doubled(codes, gids, kmax, KW, packed)
+    prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
+
+    rows = []
+    for k in ks:
+        run_end, orv, pal, _ = _per_k_runs(
+            skeys, spay, k, kmax, KW, packed, prev, rev, gid, nio
+        )
+        per_num = []
+        for num in range(D):
+            sel = run_end & (((orv >> num) & 1) == 1)
+            others = jnp.uint32(((1 << D) - 1) & ~(1 << num)) << D
+            occ = jax.lax.population_count(orv & others)
+            d = jnp.stack(
+                [jnp.sum((sel & (occ == j)).astype(jnp.int32)) for j in range(D)]
+            )
+            if k % 2 == 0:
+                selp = sel & pal
+                p = jnp.stack(
+                    [jnp.sum((selp & (occ == j)).astype(jnp.int32)) for j in range(D)]
+                )
+            else:
+                p = jnp.zeros((D,), jnp.int32)
+            per_num.append(_canon(d, p))
+        rows.append(jnp.stack(per_num))
+    return jnp.stack(rows)
+
+
+# --------------------------------------------------------------------------
+# exp3: query read-sets (bits 0..nq-1) vs group unions (bits nq..nq+ng-1)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _sweep_class_containment(codes, gids, ks, kmax, KW, nq, ng, cs, packed):
+    """(len(ks), nq, ng+1) int32: [ki, q, 0] = #canonical classes in query
+    set q (the |distinct(reads)| denominator); [ki, q, 1+g] = #classes in
+    query q AND group g (the intersection numerator)
+    (reference exp_type_3.smk:281-320)."""
+    from .ksweep import _sweep_doubled
+
+    skeys, spay = _sweep_doubled(codes, gids, kmax, KW, packed)
+    prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
+
+    rows = []
+    for k in ks:
+        run_end, orv, pal, _ = _per_k_runs(
+            skeys, spay, k, kmax, KW, packed, prev, rev, gid, nio
+        )
+        per_q = []
+        for q in range(nq):
+            inq = run_end & (((orv >> q) & 1) == 1)
+            cells = [jnp.sum(inq.astype(jnp.int32))]
+            for g in range(ng):
+                both = inq & (((orv >> (nq + g)) & 1) == 1)
+                cells.append(jnp.sum(both.astype(jnp.int32)))
+            d = jnp.stack(cells)
+            if k % 2 == 0:
+                inqp = inq & pal
+                cells = [jnp.sum(inqp.astype(jnp.int32))]
+                for g in range(ng):
+                    both = inqp & (((orv >> (nq + g)) & 1) == 1)
+                    cells.append(jnp.sum(both.astype(jnp.int32)))
+                p = jnp.stack(cells)
+            else:
+                p = jnp.zeros((ng + 1,), jnp.int32)
+            per_q.append(_canon(d, p))
+        rows.append(jnp.stack(per_q))
+    return jnp.stack(rows)
+
+
+# --------------------------------------------------------------------------
+# exp4: pivot (bit 0, count-weighted) vs group sets (bits 1..D)
+# --------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _sweep_class_feature_buckets(codes, gids, ks, kmax, KW, D, cs, cap, packed):
+    """exp4 feature buckets for every k of a class in one sort.
+
+    Returns (buckets (len(ks), D, D) int32, unique (len(ks),) int32):
+    buckets[ki, d, m-1] = total saturated pivot count of canonical classes
+    contained in dataset d's group with |matches| = m; unique[ki] = total
+    saturated pivot count of classes matching no dataset — exactly
+    classify/annotate.feature_buckets over the per-k annotation
+    (src/merge_lists.py:134-149 semantics, counter saturation at `cap` =
+    KMC's 255 default).  A palindromic run carries both strands'
+    occurrences, so its multiplicity is halved BEFORE saturation."""
+    from .ksweep import _sweep_doubled
+
+    skeys, spay = _sweep_doubled(codes, gids, kmax, KW, packed)
+    prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
+
+    b_rows, u_rows = [], []
+    for k in ks:
+        run_end, orv, pal, psum = _per_k_runs(
+            skeys, spay, k, kmax, KW, packed, prev, rev, gid, nio,
+            with_pivot_sum=True,
+        )
+        present = run_end & (((orv >> 0) & 1) == 1)
+        if k % 2 == 0:
+            c = jnp.where(pal, psum >> 1, psum)
+        else:
+            c = psum
+        c = jnp.minimum(c, jnp.uint32(cap)).astype(jnp.int32)
+        gmask = orv >> 1  # dataset bits
+        nmatch = jax.lax.population_count(gmask & jnp.uint32((1 << D) - 1))
+
+        def stats(sel):
+            uniq = jnp.sum(jnp.where(sel & (nmatch == 0), c, 0))
+            buckets = []
+            for dd in range(D):
+                in_d = ((gmask >> dd) & 1) == 1
+                row = []
+                for m in range(1, D + 1):
+                    s = sel & in_d & (nmatch == m)
+                    row.append(jnp.sum(jnp.where(s, c, 0)))
+                buckets.append(jnp.stack(row))
+            return jnp.stack(buckets), uniq
+
+        bd, ud = stats(present)
+        if k % 2 == 0:
+            bp, up = stats(present & pal)
+        else:
+            bp = jnp.zeros((D, D), jnp.int32)
+            up = jnp.int32(0)
+        b_rows.append(_canon(bd, bp))
+        u_rows.append(_canon(ud, up))
+    return jnp.stack(b_rows), jnp.stack(u_rows)
+
+
+# --------------------------------------------------------------------------
+# host-side drivers: plan classes, run, fall back per k
+# --------------------------------------------------------------------------
+
+
+def _run_classes(member_codes: Sequence[np.ndarray], ks: Sequence[int],
+                 class_fn) -> Tuple[Dict[int, np.ndarray], List[int]]:
+    """Shared driver: pack members once, run `class_fn(codes, gids, cks,
+    kmax, KW, packed)` per planned class, return ({k: host stats},
+    leftover ks for the per-k fallback)."""
+    from .occurrence import pack_members
+
+    n_members = len(member_codes)
+    classes, remaining = plan_sweep(ks, n_members)
+    out: Dict[int, np.ndarray] = {}
+    if classes:
+        codes, gids = pack_members(member_codes)
+        cj, gj = jnp.asarray(codes), jnp.asarray(gids)
+        for kmax, KW, cks, packed in classes:
+            stats = np.asarray(class_fn(cj, gj, cks, kmax, KW, packed))
+            for i, k in enumerate(cks):
+                out[k] = stats[i]
+    return out, remaining
+
+
+def pivot_rest_counts_sweep(
+    member_codes: Sequence[np.ndarray], ks: Sequence[int], cs: int = 5000
+) -> Tuple[Dict[int, np.ndarray], List[int]]:
+    """{k: (n_rest+1,) counts} for member 0 = pivot vs the rest members."""
+    n_rest = len(member_codes) - 1
+    return _run_classes(
+        member_codes,
+        ks,
+        lambda c, g, cks, kmax, KW, packed: _sweep_class_pivot_rest(
+            c, g, cks, kmax, KW, n_rest, cs, packed
+        ),
+    )
+
+
+def multi_pivot_counts_sweep(
+    member_codes: Sequence[np.ndarray], D: int, ks: Sequence[int], cs: int = 5000
+) -> Tuple[Dict[int, np.ndarray], List[int]]:
+    """{k: (D, D) counts}: members 0..D-1 pivots, D..2D-1 group sets."""
+    return _run_classes(
+        member_codes,
+        ks,
+        lambda c, g, cks, kmax, KW, packed: _sweep_class_multi_pivot(
+            c, g, cks, kmax, KW, D, cs, packed
+        ),
+    )
+
+
+def containment_counts_sweep(
+    member_codes: Sequence[np.ndarray], nq: int, ng: int, ks: Sequence[int],
+    cs: int = 5000
+) -> Tuple[Dict[int, np.ndarray], List[int]]:
+    """{k: (nq, ng+1) counts}: members 0..nq-1 query sets, then ng groups."""
+    return _run_classes(
+        member_codes,
+        ks,
+        lambda c, g, cks, kmax, KW, packed: _sweep_class_containment(
+            c, g, cks, kmax, KW, nq, ng, cs, packed
+        ),
+    )
+
+
+def feature_buckets_sweep(
+    member_codes: Sequence[np.ndarray], D: int, ks: Sequence[int],
+    cap: int = 255, cs: int = 5000
+) -> Tuple[Dict[int, tuple], List[int]]:
+    """{k: (buckets (D, D) int64, unique int)}: member 0 pivot, 1..D groups."""
+    from .occurrence import pack_members
+
+    n_members = len(member_codes)
+    classes, remaining = plan_sweep(ks, n_members)
+    out: Dict[int, tuple] = {}
+    if classes:
+        codes, gids = pack_members(member_codes)
+        cj, gj = jnp.asarray(codes), jnp.asarray(gids)
+        for kmax, KW, cks, packed in classes:
+            b, u = _sweep_class_feature_buckets(
+                cj, gj, cks, kmax, KW, D, cs, cap, packed
+            )
+            b, u = np.asarray(b), np.asarray(u)
+            for i, k in enumerate(cks):
+                out[k] = (b[i].astype(np.int64), int(u[i]))
+    return out, remaining

@@ -6,6 +6,14 @@ rest-of-group union; the two histograms feed summarize_histogram_type2.
 Across-groups variant: the pivot is compared against the union of every
 OTHER dataset's group set (exp_type_2.smk:263-283).
 
+Fast path (round-4): the whole k grid rides the shared doubled-text sort
+(engine/ksweep_classify.py) — ONE sort per dataset serves every k's
+subtract/intersect histograms (within scope), and ONE sort over all
+pivots+groups serves the across scope, instead of one pivot sort + one
+occurrence sort per (k, dataset).  ks the plan can't serve (tiny grids,
+>32 members) fall back to the original per-k table ops; both paths are
+bit-identical (tested against the oracle).
+
 Output CSVs use the reference's row ordering — dataset-major, k inner
 (get_within_group_histogram_files, exp_type_2.smk:153-169) — and header
 strings (exp_type_2.smk:405-407, 522-524).
@@ -15,6 +23,8 @@ from __future__ import annotations
 
 import os
 from typing import Dict, List, Sequence
+
+import numpy as np
 
 from ..engine.session import KmerEngine
 from ..io.packing import encode_records
@@ -41,6 +51,32 @@ def _normalize_and_write(path, header, all_metrics, group_ids):
     write_csv_rows(path, header, all_metrics)
 
 
+def _hists_from_counts(cnt: np.ndarray, cx: int):
+    """(sub_hist, inter_hist) from sweep counts: cnt[0] classes are
+    pivot-only (subtract output, all count 1); cnt[j] classes intersect j
+    members, i.e. `-ocsum` count 1 + j (exp_type_2.smk:183-184)."""
+    sub = [0] * cx
+    sub[0] = int(cnt[0])
+    inter = [0] * cx
+    for j in range(1, cnt.shape[0]):
+        if j < cx:
+            inter[j] = int(cnt[j])
+    return sub, inter
+
+
+def _per_k_pair(eng, pivot_codes, rest_codes_list, k, union_cs, count_cs, hist_cx):
+    """Original per-k path: (sub_hist, inter_hist) for one (pivot, rest)."""
+    from ..engine.occurrence import occurrence_table
+
+    pivot_set = eng.set_counts(
+        eng.count_codes(pivot_codes, k, cs=count_cs), 1
+    )
+    rest_union = eng.compact(occurrence_table(rest_codes_list, k, cs=union_cs))
+    inter = eng.intersect_sum(pivot_set, rest_union)
+    sub = eng.subtract(pivot_set, rest_union)
+    return eng.histogram(sub, cx=hist_cx), eng.histogram(inter, cx=hist_cx)
+
+
 def run_exp2(
     pivots: Dict[int, List[str]],
     rest_of_set: Dict[int, List[List[str]]],
@@ -54,45 +90,80 @@ def run_exp2(
     """pivots: {num: pivot record seqs}; rest_of_set excludes the pivot
     (exp2 is always out-pivot: input_type_2 copies exp0_nonpivot_genomes).
     """
+    from ..engine.ksweep_classify import (
+        multi_pivot_counts_sweep,
+        pivot_rest_counts_sweep,
+    )
+
     eng = engine or KmerEngine()
     nums = sorted(rest_of_set)
+    D = len(nums)
+
+    pivot_codes = {num: encode_records(pivots[num]) for num in nums}
+    rest_codes = {
+        num: [encode_records(g) for g in rest_of_set[num]] for num in nums
+    }
+    group_codes = {
+        num: encode_records([s for g in rest_of_set[num] for s in g])
+        for num in nums
+    }
 
     # (num, k) -> (sub_hist, inter_hist), for both scopes
     within: Dict[tuple, tuple] = {}
     across: Dict[tuple, tuple] = {}
 
-    for k in k_values:
-        pivot_sets = {
+    # WITHIN scope: per dataset, one shared sort serves the whole grid
+    fallback_within = set()
+    for num in nums:
+        counts, rem = pivot_rest_counts_sweep(
+            [pivot_codes[num]] + rest_codes[num], k_values, cs=union_cs
+        )
+        for k, cnt in counts.items():
+            within[(num, k)] = _hists_from_counts(cnt, hist_cx)
+        fallback_within.update(rem)
+
+    # ACROSS scope: one combined sort over all pivots + all group texts
+    # (pivot num bits 0..D-1, group bits D..2D-1; own group excluded in
+    # the scan), when 2D members fit the sweep's gid mask
+    members_across = [pivot_codes[num] for num in nums] + [
+        group_codes[num] for num in nums
+    ]
+    counts_across, rem_across = multi_pivot_counts_sweep(
+        members_across, D, k_values, cs=union_cs
+    )
+    for k, cnt in counts_across.items():
+        for i, num in enumerate(nums):
+            across[(num, k)] = _hists_from_counts(cnt[i], hist_cx)
+    fallback_across = set(rem_across)
+
+    # per-k fallback (tiny grids / >32 members): original table ops
+    for k in sorted(fallback_within):
+        for num in nums:
+            within[(num, k)] = _per_k_pair(
+                eng, pivot_codes[num], rest_codes[num], k,
+                union_cs, count_cs, hist_cx,
+            )
+    for k in sorted(fallback_across):
+        group_sets = {
             num: eng.set_counts(
-                eng.count_codes(encode_records(pivots[num]), k, cs=count_cs), 1
+                eng.count_codes(group_codes[num], k, cs=count_cs), 1
             )
             for num in nums
         }
-        # counted union (count = #genomes containing) in one fused sort per
-        # dataset (engine/occurrence.py replaces per-genome count + union)
-        from ..engine.occurrence import occurrence_table
-
-        rest_unions = {}
-        group_sets = {}
         for num in nums:
-            rest_unions[num] = eng.compact(
-                occurrence_table(
-                    [encode_records(g) for g in rest_of_set[num]], k, cs=union_cs
-                )
+            pivot_set = eng.set_counts(
+                eng.count_codes(pivot_codes[num], k, cs=count_cs), 1
             )
-            group_sets[num] = eng.set_counts(rest_unions[num], 1)
-
-        for num in nums:
-            inter = eng.intersect_sum(pivot_sets[num], rest_unions[num])
-            sub = eng.subtract(pivot_sets[num], rest_unions[num])
-            within[(num, k)] = (eng.histogram(sub, cx=hist_cx), eng.histogram(inter, cx=hist_cx))
-
             others = [group_sets[j] for j in nums if j != num]
             across_union = eng.union(others, cs=union_cs)
-            ainter = eng.intersect_sum(pivot_sets[num], across_union)
-            asub = eng.subtract(pivot_sets[num], across_union)
-            across[(num, k)] = (eng.histogram(asub, cx=hist_cx), eng.histogram(ainter, cx=hist_cx))
+            ainter = eng.intersect_sum(pivot_set, across_union)
+            asub = eng.subtract(pivot_set, across_union)
+            across[(num, k)] = (
+                eng.histogram(asub, cx=hist_cx),
+                eng.histogram(ainter, cx=hist_cx),
+            )
 
+    for k in k_values:
         for scope, data in (("within", within), ("across", across)):
             for num in nums:
                 base = os.path.join(

@@ -57,12 +57,35 @@ def run_exp3(
 ) -> str:
     """reads: {(read_type, pivot_num): [read strings]} (see
     simulate_exp3_reads); rest_of_set excludes each pivot (out-pivot)."""
+    from ..engine.ksweep_classify import containment_counts_sweep
+
     eng = engine or KmerEngine()
     nums = sorted(rest_of_set)
     read_types = sorted({rt for rt, _ in reads}, key=lambda r: ("illumina", "ont").index(r))
 
+    # fast path: queries (read sets, bits 0..nq-1) and group unions (bits
+    # nq..nq+D-1) share ONE doubled-text sort for the whole k grid —
+    # |distinct(reads)| and |reads ∩ group| are run counts in the same
+    # scan (engine/ksweep_classify.py)
+    qkeys = [(rt, num) for rt in read_types for num in nums]
+    member_codes = [encode_records(reads[q]) for q in qkeys] + [
+        encode_records([s for g in rest_of_set[num] for s in g]) for num in nums
+    ]
+    counts, fallback_ks = containment_counts_sweep(
+        member_codes, len(qkeys), len(nums), k_values, cs=union_cs
+    )
+
     results = {}
-    for k in k_values:
+    for k, cnt in counts.items():
+        for qi, (read_type, pivot_num) in enumerate(qkeys):
+            n_pivot = int(cnt[qi, 0])
+            assert n_pivot > 0, "empty pivot read k-mer set"
+            for gi, num in enumerate(nums):
+                results[(read_type, pivot_num, k, num)] = round(
+                    int(cnt[qi, 1 + gi]) / n_pivot, 4
+                )
+
+    for k in sorted(fallback_ks):
         unions = {}
         for num in nums:
             members = [

@@ -74,18 +74,44 @@ def run_exp4(
     Writes accuracies_type_4/{confusion_matrix,values}/ and the
     concatenated accuracy_values.csv; returns the concatenated path.
     """
+    from ..engine.ksweep_classify import feature_buckets_sweep
+
     eng = engine or KmerEngine()
     nums = sorted(rest_of_set)
     d = len(nums)
     acc_dir = os.path.join(out_dir, "accuracies_type_4")
 
+    # fast path: per pivot, ONE doubled-text sort serves every k's
+    # feature buckets (pivot multiplicities via a segmented sum riding
+    # the presence-mask scan, engine/ksweep_classify.py); leftover ks
+    # fall back to the per-k annotation sort below
+    pivot_codes = {num: encode_records(pivots[num]) for num in nums}
+    group_codes = [
+        encode_records([s for g in rest_of_set[num] for s in g]) for num in nums
+    ]
+    swept: Dict[int, dict] = {}
+    fallback_ks = set(k_values)
+    for num in nums:
+        bk, rem = feature_buckets_sweep(
+            [pivot_codes[num]] + group_codes, d, k_values, cap=count_cs,
+            cs=union_cs,
+        )
+        swept[num] = bk
+        fallback_ks = set(rem)
+
     for k in k_values:
-        group_sets = build_group_sets(eng, rest_of_set, k, union_cs, count_cs)
+        if k not in fallback_ks:
+            group_sets = None
+        else:
+            group_sets = build_group_sets(eng, rest_of_set, k, union_cs, count_cs)
         cm, cm_ucol = [], []
         for num in nums:
-            pivot_table = eng.count_codes(encode_records(pivots[num]), k, cs=count_cs)
-            ann = build_annotation(pivot_table, [group_sets[j] for j in nums])
-            buckets, unique = feature_buckets(ann)
+            if k not in fallback_ks:
+                buckets, unique = swept[num][k]
+            else:
+                pivot_table = eng.count_codes(pivot_codes[num], k, cs=count_cs)
+                ann = build_annotation(pivot_table, [group_sets[j] for j in nums])
+                buckets, unique = feature_buckets(ann)
             regular, ucol = feature_confusion_rows(buckets, unique)
             cm.append(regular)
             cm_ucol.append(ucol)

@@ -18,15 +18,15 @@ import numpy as np
 
 from ..classify import (
     accuracy_values,
-    build_annotation,
     read_level_confusion_row,
     read_votes,
     write_accuracy_csv,
     write_confusion_matrix,
 )
+from ..classify.annotate import build_group_mask_annotation
 from ..engine.session import KmerEngine
 from ..io.packing import encode_records, encode_seq
-from .exp4 import build_group_sets, glob_lexicographic
+from .exp4 import glob_lexicographic
 
 READ_TYPE_LABEL = {"illumina": "short", "ont": "long"}
 
@@ -62,15 +62,19 @@ def run_exp6(
     acc_dir = os.path.join(out_dir, f"accuracies_type_6/{read_type}")
 
     matrices = {num: reads_matrix(pivot_reads[num]) for num in nums}
+    group_codes = [
+        encode_records([s for g in rest_of_set[num] for s in g]) for num in nums
+    ]
 
     for k in k_values:
-        group_sets = build_group_sets(eng, rest_of_set, k, union_cs, count_cs)
+        # ONE canonical sort over all group texts serves every pivot's
+        # lookups at this k: read-level voting uses only the dataset mask
+        # (not pivot counts), so the global mask table replaces the
+        # per-dataset group tables + per-pivot annotation merges with
+        # identical votes (classify/annotate.build_group_mask_annotation)
+        ann = build_group_mask_annotation(group_codes, k)
         cm, cm_ucol = [], []
         for num in nums:
-            pivot_table = eng.count_codes(
-                encode_records(pivot_reads[num]), k, cs=count_cs
-            )
-            ann = build_annotation(pivot_table, [group_sets[j] for j in nums])
             votes, _unmatched, _nk = read_votes(ann, matrices[num])
             rng = np.random.default_rng([seed, trial, k, num])
             row = read_level_confusion_row(votes, d, rng)

@@ -226,20 +226,56 @@ def _run_one(cfg: KhoiceConfig, args, db, exp0_root: str) -> int:
         elif et == 7:
             from .pipelines.exp7 import run_exp7
 
-            reads7 = {num: exp0["reads"][(num, "illumina")] for num in db}
+            # the reference fans exp7 over BOTH read types and gathers
+            # four trial CSVs (exp_type_7.smk:36-47,284-292)
+            reads7 = {
+                rt: {num: exp0["reads"][(num, rt)] for num in db}
+                for rt in ("illumina", "ont")
+            }
+            outputs7 = [
+                os.path.join(
+                    cfg.work_root,
+                    f"final_output_type_7/trial_{cfg.curr_trial}_{mt}_{rt}.csv",
+                )
+                for mt in ("mems", "half_mems")
+                for rt in ("illumina", "ont")
+            ] + [
+                os.path.join(
+                    cfg.work_root, f"output_type_7/{mt}/{rt}/confusion_matrix.csv"
+                )
+                for mt in ("mems", "half_mems")
+                for rt in ("illumina", "ont")
+            ]
             driver.run([Stage(
                 name="exp7",
-                outputs=[os.path.join(cfg.work_root, "output_type_7/mems/confusion_matrix.csv")],
+                outputs=outputs7,
                 fn=lambda: run_exp7(reads7, nonpivot_genomes, cfg.work_root,
-                                    threshold=cfg.threshold, seed=cfg.seed),
+                                    threshold=cfg.threshold, seed=cfg.seed,
+                                    trial=cfg.curr_trial),
             )])
         elif et == 8:
-            from .pipelines.exp8 import run_exp8
+            from .pipelines.exp8 import run_exp8, simulate_exp8_reads
 
-            reads8 = {num: exp0["reads"][(num, "illumina")] for num in db}
+            # exp8 simulates its OWN reads from each pivot (2x Illumina +
+            # depth-30 ONT, first-N subset; exp_type_8.smk:85-135) — it
+            # does not reuse exp0's read sets
+            reads8 = simulate_exp8_reads(
+                pivots, cfg.num_reads_per_dataset, seed=cfg.read_sim_seed
+            )
+            # every (mem_type, t, read_type) CSV is a stage output, so a
+            # run killed between thresholds is not wrongly "satisfied"
+            outputs8 = [
+                os.path.join(
+                    cfg.work_root,
+                    f"output_type_8/{mt}/t_{t}/{rt}/confusion_matrix.csv",
+                )
+                for mt in ("mems", "half_mems")
+                for t in cfg.t_values
+                for rt in ("illumina", "ont")
+            ]
             driver.run([Stage(
                 name="exp8",
-                outputs=[os.path.join(cfg.work_root, f"output_type_8/mems/t_{cfg.t_values[0]}/confusion_matrix.csv")],
+                outputs=outputs8,
                 fn=lambda: run_exp8(reads8, nonpivot_genomes, cfg.work_root,
                                     t_values=cfg.t_values, seed=cfg.seed),
             )])

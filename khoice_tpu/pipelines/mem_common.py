@@ -95,15 +95,22 @@ def run_mem_experiment(
     analysis_thresholds: Sequence[int] = (0,),
     seed: int = 0,
     tag: str = "type_5",
+    read_type: str | None = None,
 ) -> Dict[int, dict]:
     """Generic exp5/7/8 driver.
 
     queries: {pivot_num: [query records]} (genome records or reads);
     datasets: {num: [genome,...]} per-dataset reference sets.
+    read_type: when set ("illumina"/"ont"), every output path carries a
+    read_type segment so both read types of a trial coexist — the
+    reference fans exp7/exp8 over both (exp_type_7.smk:284-292, SAMs at
+    exp7_sam_files/{mem_type}/{read_type}/; exp8 at
+    output_type_8/{mem_type}/t_{t}/{read_type}/, exp_type_8.smk:247-261).
     Returns {analysis_threshold: {"confusion_matrix": path, ...}}.
     """
     from ..mems.analyze import analyze_features, noise_from_length, write_outputs
 
+    rt_seg = f"/{read_type}" if read_type else ""
     nums = sorted(datasets)
 
     all_text, total_len = combined_text(
@@ -117,21 +124,28 @@ def run_mem_experiment(
         for num in nums
     }
 
-    sam_dir = os.path.join(out_dir, f"sam_{tag}/{mem_type}")
+    sam_dir = os.path.join(out_dir, f"sam_{tag}/{mem_type}{rt_seg}")
     read_seqs: Dict[int, list] = {}
     for pnum in sorted(queries):
         records = queries[pnum]
         ms_arrays = matching_statistics_per_record(ms_index, records)
         feats = extract_features(records, ms_arrays, mem_type, extract_threshold)
         write_features_fastq(
-            os.path.join(out_dir, f"{mem_type}_{tag}/pivot_{pnum}.fastq"), feats
+            os.path.join(out_dir, f"{mem_type}_{tag}{rt_seg}/pivot_{pnum}.fastq"),
+            feats,
         )
         locate_and_write_sams(feats, dataset_indexes, sam_dir, pnum)
         read_seqs[pnum] = [(f.name, f.seq) for f in feats]
 
     out = {}
     for t in analysis_thresholds:
-        rng = np.random.default_rng([seed, t])
+        # distinct tie-break streams per read_type (the reference runs
+        # separate analyze_sam.py processes per read_type)
+        rng = (
+            np.random.default_rng([seed, t])
+            if read_type is None
+            else np.random.default_rng([seed, ("illumina", "ont").index(read_type), t])
+        )
         cm = analyze_features(
             sam_dir,
             len(nums),
@@ -143,9 +157,9 @@ def run_mem_experiment(
             rng=rng,
         )
         tdir = (
-            os.path.join(out_dir, f"output_{tag}/{mem_type}/t_{t}")
+            os.path.join(out_dir, f"output_{tag}/{mem_type}/t_{t}{rt_seg}")
             if len(analysis_thresholds) > 1
-            else os.path.join(out_dir, f"output_{tag}/{mem_type}")
+            else os.path.join(out_dir, f"output_{tag}/{mem_type}{rt_seg}")
         )
         out[t] = write_outputs(tdir, cm, len(nums))
     return out

@@ -148,3 +148,54 @@ def test_batch_matching_statistics_no_cross_read_leak(rng):
     got = idx.batch_matching_statistics(reads)
     for q, ms in zip(reads, got):
         assert ms.tolist() == brute_ms(text, q)
+
+
+def test_exp7_read_type_axis(rng, tmp_path):
+    """Reference layout: four trial CSVs per trial (mem_type x read_type,
+    exp_type_7.smk:284-292) with per-read_type output trees, and an
+    oracle-checked ont confusion matrix (reads built to match one dataset
+    unambiguously, so the vote outcome is exact)."""
+    pivots, datasets = make_mem_world(rng)
+    # ont reads: substrings of each dataset's marker -> every read's MEMs
+    # locate only in its own dataset (no ties, no rng sensitivity)
+    reads = {
+        "illumina": {num: [pivots[num][0][:60]] for num in pivots},
+        "ont": {num: [datasets[num][0][0][:120], datasets[num][1][0][:90]]
+                for num in pivots},
+    }
+    out = run_exp7(reads, datasets, str(tmp_path), threshold=10, trial=3)
+    for mt in ("mems", "half_mems"):
+        for rt in ("illumina", "ont"):
+            assert (mt, rt) in out
+            final = tmp_path / f"final_output_type_7/trial_3_{mt}_{rt}.csv"
+            assert final.exists(), final
+            cm = tmp_path / f"output_type_7/{mt}/{rt}/confusion_matrix.csv"
+            assert cm.exists(), cm
+    # oracle: both ont reads of pivot num match dataset num exclusively
+    cm_path = out[("mems", "ont")]["confusion_matrix"]
+    rows = [r.split(",") for r in open(cm_path).read().strip().split("\n")]
+    cm = np.array([[float(x) for x in r] for r in rows])
+    np.testing.assert_array_equal(cm, np.array([[2.0, 0.0], [0.0, 2.0]]))
+
+
+def test_exp8_read_type_axis(rng, tmp_path):
+    """exp8 outputs land at output_type_8/{mem_type}/t_{t}/{read_type}/
+    (exp_type_8.smk:247-261) and its own read simulation yields the
+    first-N head subset per read type (exp_type_8.smk:110-135)."""
+    from khoice_tpu.pipelines.exp8 import simulate_exp8_reads
+
+    pivots, datasets = make_mem_world(rng)
+    # ONT reads are 200-1100 bp; give the simulator long enough pivots
+    pivots = {num: [p[0] * 8] for num, p in pivots.items()}
+    reads = simulate_exp8_reads(pivots, num_reads=3, seed=0)
+    assert set(reads) == {"illumina", "ont"}
+    for rt in reads:
+        for num in pivots:
+            assert len(reads[rt][num]) == 3
+    out = run_exp8(reads, datasets, str(tmp_path), t_values=[1, 20])
+    for mt in ("mems", "half_mems"):
+        for rt in ("illumina", "ont"):
+            assert set(out[(mt, rt)].keys()) == {1, 20}
+            for t in (1, 20):
+                p = tmp_path / f"output_type_8/{mt}/t_{t}/{rt}/confusion_matrix.csv"
+                assert p.exists(), p

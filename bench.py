@@ -130,17 +130,13 @@ def _protocol_rows(cj, gj, headline, run_grid):
 
     @jax.jit
     def extract_sort_ck(codes, gids):
-        rc = jnp.where(codes < 4, codes ^ 3, codes)[::-1]
-        fwd, payload = _extract_fwd_sweep(
-            jnp.concatenate([codes, rc]),
-            jnp.concatenate([gids, gids[::-1]]),
-            kmax, KW, packed=packed,
-        )
-        # when the class is unpacked the real sweep sorts KW keys + the
-        # payload operand — time the same operand set (ADVICE r3)
-        ops = list(fwd) if packed else list(fwd) + [payload]
-        sk = jax.lax.sort(ops, num_keys=KW, is_stable=False)
-        return sk[0][::1000].astype(jnp.uint32).sum()
+        # the real sweep front half: extract + sentinel re-encode +
+        # fastsort (engine/ksweep._sweep_doubled), incl. the payload
+        # operand when the class is unpacked (ADVICE r3)
+        from khoice_tpu.engine.ksweep import _sweep_doubled
+
+        skeys, spay = _sweep_doubled(codes, gids, kmax, KW, packed)
+        return skeys[0][::1000].astype(jnp.uint32).sum()
 
     def best(f):
         f()

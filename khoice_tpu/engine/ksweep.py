@@ -289,7 +289,15 @@ def _sweep_doubled(codes, gids, kmax, KW, packed):
     """Doubled text (codes ++ revcomp) -> extracted forward kmax-mer
     elements -> ONE sorted array: (skeys tuple, payload or None).  The
     shared front half of every sweep consumer (exp1 histograms and the
-    classification scans in ksweep_classify.py)."""
+    classification scans in ksweep_classify.py).
+
+    The sort is the flat variadic lax.sort: honest microbenchmarks
+    (tools/microbench_fastsort.py — outputs consumed so XLA cannot DCE
+    co-sorted operands) show operand MOVEMENT, not comparator width,
+    dominates it (nk1 204 ms vs nk4 229 ms at 35.6M x 4 ops), so the
+    partition+window scheme in engine/fastsort.py does not beat it; the
+    promising replacement is VMEM row sorts (64 ms) + a Pallas
+    merge-path kernel (engine/fastsort.py)."""
     rc = jnp.where(codes < 4, codes ^ 3, codes)[::-1]
     codes2 = jnp.concatenate([codes, rc])
     gids2 = jnp.concatenate([gids, gids[::-1]])

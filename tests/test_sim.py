@@ -147,3 +147,60 @@ def test_subset_mems_budget():
     out = subset_features_mems(feats, np.random.default_rng(0), 1000, total_ref_length=4**10)
     per = 50 - 10  # len - log4(4^10)
     assert len(out) == int(np.ceil((1000 + 10000) / per))
+
+
+def test_pbsim1_model_qc_table(tmp_path):
+    """A hand-written pbsim1 model_qc table (rows: <accuracy int> then
+    quality-code probabilities) loads via the layout sniffer, binds to
+    the requested accuracy-mean, and drives sim_ont with a statistically
+    calibrated error rate; malformed tables fail naming the contract
+    (round-3 VERDICT task 6)."""
+    import pytest as _pytest
+
+    from khoice_tpu.sim.error_models import ModelQc, load_model_file
+
+    # accuracy-95 row: all mass on q=13 -> error = 10^-1.3 ~ 0.0501;
+    # other rows present to exercise nearest-row selection
+    k = 24
+    rows = {90: 10, 95: 13, 99: 20}
+    lines = ["# hand-written pbsim1-style model_qc table"]
+    for acc, q in rows.items():
+        p = ["0"] * k
+        p[q] = "1.0"
+        lines.append(f"{acc} " + " ".join(p))
+    path = tmp_path / "model_qc_clr"
+    path.write_text("\n".join(lines) + "\n")
+
+    m = load_model_file(str(path), accuracy_mean=0.95)
+    assert isinstance(m, ModelQc)
+    quals = m.sample_qualities(np.random.default_rng(0), 1000)
+    assert set(quals.tolist()) == {13}
+    # nearest-row selection: 0.98 -> accuracy-99 row (q=20)
+    assert set(m.bind(0.98).sample_qualities(
+        np.random.default_rng(0), 100).tolist()) == {20}
+
+    seqs = ["".join("ACGT"[(i * 7 + i // 5) % 4] for i in range(60000))]
+    g = np.random.default_rng(5)
+    reads = sim_ont(seqs, g, accuracy_mean=0.95, length_min=900,
+                    length_max=1100, model_file=str(path))
+    assert len(reads) >= 400
+    # realized per-base difference rate ~ 0.0501 (q=13); alignment-free
+    # proxy: sampled error probability equals 10^(-13/10) exactly, and
+    # read lengths drift by ins/del at that rate
+    err = 10 ** (-13 / 10)
+    lens = np.array([len(r) for r in reads])
+    # ins and del rates are err * ratio/(sum); R9.5 ratio 23:31:46 ->
+    # net drift = err * (31 - 46) / 100 per base
+    drift = err * (31 - 46) / 100
+    mean_expected = 1000 * (1 + drift)
+    assert abs(lens.mean() - mean_expected) < 12, lens.mean()
+
+    bad = tmp_path / "bad_qc"
+    bad.write_text("95 0.4 0.2\n99 0.5 0.5 0.5\n")
+    with _pytest.raises(ValueError, match="inconsistent row widths|sums to"):
+        ModelQc.from_file(str(bad))
+
+    neg = tmp_path / "neg_qc"
+    neg.write_text("150 0.5 0.5 0.0\n")
+    with _pytest.raises(ValueError, match="outside"):
+        ModelQc.from_file(str(neg))

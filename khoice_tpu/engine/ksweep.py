@@ -355,7 +355,22 @@ def plan_sweep(ks: Sequence[int], n_members: int):
     from .occurrence import occ_words_static
 
     ks = sorted(set(int(k) for k in ks))
-    if n_members > 32 or len(ks) < 3:
+    if n_members > 32:
+        # the gid one-hot masks of the multi-k scan are uint32; groups
+        # beyond 32 genomes (download_genomes.py -n is unbounded) fall
+        # back to one fused sort PER k — correct, but the grid pays
+        # ~len(ks) sorts instead of ~1.  Surface the cost cliff.
+        if len(ks) >= 3:
+            import logging
+
+            logging.getLogger("khoice.ksweep").warning(
+                "shared-sort sweep disabled: %d members > 32 (uint32 gid "
+                "mask); falling back to %d per-k fused sorts — expect "
+                "~%dx the sweep's sort volume for this group",
+                n_members, len(ks), len(ks),
+            )
+        return [], ks
+    if len(ks) < 3:
         return [], ks
 
     split_classes = []

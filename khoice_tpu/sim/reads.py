@@ -43,6 +43,15 @@ def _to_str(codes: np.ndarray) -> str:
     return "".join(_BASES[codes])
 
 
+_ASCII = np.frombuffer(b"ACGT", np.uint8)
+
+
+def _rows_to_strs(rows: np.ndarray) -> List[str]:
+    """Batch code-matrix -> strings via one ASCII lookup + per-row bytes."""
+    b = _ASCII[rows]
+    return [bytes(r).decode("ascii") for r in b]
+
+
 def sim_illumina(
     seqs: Sequence[str],
     rng: np.random.Generator,
@@ -67,12 +76,14 @@ def sim_illumina(
             continue
         n_reads = int(math.ceil(coverage * n / read_len))
         starts = rng.integers(0, n - read_len + 1, size=n_reads)
-        for s in starts:
-            read = codes[s : s + read_len].copy()
-            pos = profile.sample_error_positions(rng)
-            if pos.size:
-                read = _mutate_sub(read, pos, rng)
-            out.append(_to_str(read))
+        # fully vectorized over reads (the scalar per-read loop dominated
+        # realistic-scale exp0 wall time): gather [R, L], one error mask
+        # from the positional profile, one substitution shift
+        reads = codes[starts[:, None] + np.arange(read_len)[None, :]]
+        errm = rng.random((n_reads, read_len)) < profile.pos_error[None, :]
+        shift = rng.integers(1, 4, size=(n_reads, read_len), dtype=np.int64)
+        reads = np.where(errm, (reads + shift) % 4, reads).astype(np.uint8)
+        out.extend(_rows_to_strs(reads))
     return out
 
 
@@ -103,6 +114,8 @@ def sim_ont(
             if model_file
             else QualityHmm.from_accuracy(accuracy_mean)
         )
+    from .error_models import sample_qualities_batch
+
     rsub, rins, rdel = model.difference_ratio
     rtot = rsub + rins + rdel
     psub, pins = rsub / rtot, rins / rtot
@@ -114,27 +127,38 @@ def sim_ont(
             continue
         mean_len = (length_min + length_max) / 2
         n_reads = int(math.ceil(depth * n / mean_len))
-        for _ in range(n_reads):
-            ln = int(rng.integers(length_min, length_max + 1))
-            s = int(rng.integers(0, n - ln + 1))
-            read = codes[s : s + ln]
-            quals = model.sample_qualities(rng, ln)
-            err = rng.random(ln) < model.error_probs(quals)
-            pieces: List[np.ndarray] = []
-            kinds = rng.random(ln)
-            for i in range(ln):
-                if not err[i]:
-                    pieces.append(read[i : i + 1])
-                elif kinds[i] < psub:  # substitution
-                    pieces.append(
-                        np.array([(read[i] + rng.integers(1, 4)) % 4], np.uint8)
-                    )
-                elif kinds[i] < psub + pins:  # insertion (keep + random base)
-                    pieces.append(read[i : i + 1])
-                    pieces.append(np.array([rng.integers(0, 4)], np.uint8))
-                # else deletion: drop base
-            if pieces:
-                out.append(_to_str(np.concatenate(pieces)))
+        # batch draws (quality walks vectorized across reads; the scalar
+        # per-BASE loop was 50M Python iterations at realistic scale)
+        lens = rng.integers(length_min, length_max + 1, size=n_reads)
+        starts = rng.integers(0, n - lens + 1)
+        lmax = int(length_max)
+        quals = sample_qualities_batch(model, rng, n_reads, lmax)
+        errp = model.error_probs(quals)
+        live = np.arange(lmax)[None, :] < lens[:, None]
+        err = (rng.random((n_reads, lmax)) < errp) & live
+        kinds = rng.random((n_reads, lmax))
+        shifts = rng.integers(1, 4, size=(n_reads, lmax))
+        sub = err & (kinds < psub)
+        ins = err & (kinds >= psub) & (kinds < psub + pins)
+        dele = err & (kinds >= psub + pins)
+        arange = np.arange(lmax)
+        for r in range(n_reads):
+            ln = int(lens[r])
+            read = codes[starts[r] : starts[r] + ln].astype(np.int64)
+            read = np.where(sub[r, :ln], (read + shifts[r, :ln]) % 4, read)
+            # emit counts per position: 0 = deletion, 1 = keep,
+            # 2 = keep + inserted random base after it
+            counts = 1 - dele[r, :ln].astype(np.int64) + ins[r, :ln]
+            rep = np.repeat(arange[:ln], counts)
+            result = read[rep].astype(np.uint8)
+            n_ins = int(ins[r, :ln].sum())
+            if n_ins:
+                ends = np.cumsum(counts)
+                result[ends[ins[r, :ln]] - 1] = rng.integers(
+                    0, 4, size=n_ins, dtype=np.int64
+                )
+            if result.size:
+                out.append(bytes(_ASCII[result]).decode("ascii"))
     return out
 
 

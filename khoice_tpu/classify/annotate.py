@@ -128,15 +128,9 @@ def _group_mask_annotate(codes_gids, k):
     onehot = jnp.uint32(1) << gid
     run_end = jnp.roll(key_new, -1).at[-1].set(True)
 
-    def seg_or(m, boundary):
-        def comb(a, b):
-            (ma, fa), (mb, fb) = a, b
-            return jnp.where(fb, mb, ma | mb), fa | fb
+    from ..engine.ksweep import _seg_or_scan
 
-        out, _ = jax.lax.associative_scan(comb, (m, boundary))
-        return out
-
-    mask = seg_or(onehot[::-1], run_end[::-1])[::-1]
+    mask = _seg_or_scan(onehot[::-1], run_end[::-1])[::-1]
     mask = jnp.where(words_is_sentinel(sp), 0, mask)
     return unpack_keys_static(sp, k), mask
 

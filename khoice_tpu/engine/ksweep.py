@@ -224,14 +224,69 @@ def _pal_mask(skeys: tuple, rev: tuple, k: int, KW: int):
     return eq
 
 
+# Segmented scans: jax.lax.associative_scan's recursive odd/even
+# decomposition compiles fine on CPU but the TPU AOT compiler blows up
+# (OOM-killed) past ~50M elements, so these are blocked two-level
+# Hillis-Steele scans instead: log2(C) unrolled in-row steps on a
+# [n/C, C] view, a recursive scan of the row summaries, and one
+# broadcast combine — a small static graph at any size.
+
+_SEG_C = 1024
+
+
+def _seg_scan_blocked(v, K, op, neutral):
+    """Inclusive segmented scan of `op` with reset flags K (True = value
+    restarts AT this element, its own v included).  Returns (values,
+    flags-prefix)."""
+    n = v.shape[0]
+    if n <= 2 * _SEG_C:
+        return _seg_scan_hs(v, K, op, neutral)
+    pad = (-n) % _SEG_C
+    if pad:
+        v = jnp.concatenate([v, jnp.full((pad,), neutral, v.dtype)])
+        K = jnp.concatenate([K, jnp.ones((pad,), jnp.bool_)])
+    R = v.shape[0] // _SEG_C
+    v2 = v.reshape(R, _SEG_C)
+    K2 = K.reshape(R, _SEG_C)
+    s = 1
+    while s < _SEG_C:
+        vs = jnp.concatenate(
+            [jnp.full((R, s), neutral, v2.dtype), v2[:, :-s]], axis=1
+        )
+        Ks = jnp.concatenate([jnp.zeros((R, s), jnp.bool_), K2[:, :-s]], axis=1)
+        v2 = jnp.where(K2, v2, op(vs, v2))
+        K2 = K2 | Ks
+        s *= 2
+    pv, pk = _seg_scan_blocked(v2[:, -1], K2[:, -1], op, neutral)
+    ev = jnp.concatenate([jnp.full((1,), neutral, pv.dtype), pv[:-1]])
+    ek = jnp.concatenate([jnp.zeros((1,), jnp.bool_), pk[:-1]])
+    out_v = jnp.where(K2, v2, op(ev[:, None], v2))
+    out_k = K2 | ek[:, None]
+    return out_v.reshape(-1)[:n], out_k.reshape(-1)[:n]
+
+
+def _seg_scan_hs(v, K, op, neutral):
+    """Flat unrolled Hillis-Steele segmented scan (small arrays)."""
+    n = int(v.shape[0])
+    s = 1
+    while s < n:
+        vs = jnp.concatenate([jnp.full((s,), neutral, v.dtype), v[:-s]])
+        Ks = jnp.concatenate([jnp.zeros((s,), jnp.bool_), K[:-s]])
+        v = jnp.where(K, v, op(vs, v))
+        K = K | Ks
+        s *= 2
+    return v, K
+
+
 def _seg_or_scan(m, boundary):
     """Inclusive segmented OR scan (reset at boundary; boundary[0] True)."""
+    out, _ = _seg_scan_blocked(m, boundary, jnp.bitwise_or, 0)
+    return out
 
-    def comb(a, b):
-        (ma, fa), (mb, fb) = a, b
-        return jnp.where(fb, mb, ma | mb), fa | fb
 
-    out, _ = jax.lax.associative_scan(comb, (m, boundary))
+def _seg_sum_scan(v, boundary):
+    """Inclusive segmented SUM scan (reset at boundary; boundary[0] True)."""
+    out, _ = _seg_scan_blocked(v, boundary, jnp.add, 0)
     return out
 
 

@@ -48,19 +48,9 @@ from .ksweep import (
     _pal_mask,
     _rev2comp_words,
     _seg_or_scan,
+    _seg_sum_scan,
     plan_sweep,
 )
-
-
-def _seg_sum_scan(v, boundary):
-    """Inclusive segmented SUM scan (reset at boundary; boundary[0] True)."""
-
-    def comb(a, b):
-        (va, fa), (vb, fb) = a, b
-        return jnp.where(fb, vb, va + vb), fa | fb
-
-    out, _ = jax.lax.associative_scan(comb, (v, boundary))
-    return out
 
 
 def _per_k_runs(skeys, spayload, k, kmax, KW, packed, prev, rev, gid, nio,
@@ -98,22 +88,33 @@ def _canon(stat_d, stat_p):
     return (stat_d + stat_p) // 2
 
 
+# The XLA scans unroll per k; compiling the whole 30-point grid in one
+# program OOM-killed the AOT compile helper at realistic scale (exp2's
+# 30 x 9-bin graph hit ~200 KB of MLIR).  The sort is jitted once and
+# the scans consume it in chunks of at most this many ks per program.
+SCAN_KS_PER_CALL = 5
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _sorted_doubled_fn(codes, gids, kmax, KW, packed):
+    from .ksweep import _sweep_doubled
+
+    return _sweep_doubled(codes, gids, kmax, KW, packed)
+
+
 # --------------------------------------------------------------------------
 # exp2 within: pivot (bit 0) vs rest members (bits 1..n_rest)
 # --------------------------------------------------------------------------
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
-def _sweep_class_pivot_rest(codes, gids, ks, kmax, KW, n_rest, cs, packed):
+def _sweep_class_pivot_rest(skeys, spay, ks, kmax, KW, n_rest, cs, packed):
     """(len(ks), n_rest+1) int32: [ki, j] = #canonical classes present in
     the pivot (member 0) and in exactly j of the rest members (1..n_rest).
 
     j = 0 -> `kmers_subtract` classes (all count 1); j >= 1 -> the
     `intersect -ocsum` class count at intersection count 1 + j
     (reference exp_type_2.smk:354-380 semantics)."""
-    from .ksweep import _sweep_doubled
-
-    skeys, spay = _sweep_doubled(codes, gids, kmax, KW, packed)
     prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
     rest_mask = jnp.uint32(((1 << (n_rest + 1)) - 1) & ~1)
 
@@ -147,13 +148,10 @@ def _sweep_class_pivot_rest(codes, gids, ks, kmax, KW, n_rest, cs, packed):
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
-def _sweep_class_multi_pivot(codes, gids, ks, kmax, KW, D, cs, packed):
+def _sweep_class_multi_pivot(skeys, spay, ks, kmax, KW, D, cs, packed):
     """(len(ks), D, D) int32: [ki, num, j] = #canonical classes present in
     pivot `num` and in exactly j of the OTHER datasets' group sets
     (pivot num's own group excluded, exp_type_2.smk:263-283)."""
-    from .ksweep import _sweep_doubled
-
-    skeys, spay = _sweep_doubled(codes, gids, kmax, KW, packed)
     prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
 
     rows = []
@@ -187,14 +185,11 @@ def _sweep_class_multi_pivot(codes, gids, ks, kmax, KW, D, cs, packed):
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
-def _sweep_class_containment(codes, gids, ks, kmax, KW, nq, ng, cs, packed):
+def _sweep_class_containment(skeys, spay, ks, kmax, KW, nq, ng, cs, packed):
     """(len(ks), nq, ng+1) int32: [ki, q, 0] = #canonical classes in query
     set q (the |distinct(reads)| denominator); [ki, q, 1+g] = #classes in
     query q AND group g (the intersection numerator)
     (reference exp_type_3.smk:281-320)."""
-    from .ksweep import _sweep_doubled
-
-    skeys, spay = _sweep_doubled(codes, gids, kmax, KW, packed)
     prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
 
     rows = []
@@ -230,7 +225,7 @@ def _sweep_class_containment(codes, gids, ks, kmax, KW, nq, ng, cs, packed):
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
-def _sweep_class_feature_buckets(codes, gids, ks, kmax, KW, D, cs, cap, packed):
+def _sweep_class_feature_buckets(skeys, spay, ks, kmax, KW, D, cs, cap, packed):
     """exp4 feature buckets for every k of a class in one sort.
 
     Returns (buckets (len(ks), D, D) int32, unique (len(ks),) int32):
@@ -241,9 +236,6 @@ def _sweep_class_feature_buckets(codes, gids, ks, kmax, KW, D, cs, cap, packed):
     (src/merge_lists.py:134-149 semantics, counter saturation at `cap` =
     KMC's 255 default).  A palindromic run carries both strands'
     occurrences, so its multiplicity is halved BEFORE saturation."""
-    from .ksweep import _sweep_doubled
-
-    skeys, spay = _sweep_doubled(codes, gids, kmax, KW, packed)
     prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
 
     b_rows, u_rows = [], []
@@ -291,9 +283,11 @@ def _sweep_class_feature_buckets(codes, gids, ks, kmax, KW, D, cs, cap, packed):
 
 def _run_classes(member_codes: Sequence[np.ndarray], ks: Sequence[int],
                  class_fn) -> Tuple[Dict[int, np.ndarray], List[int]]:
-    """Shared driver: pack members once, run `class_fn(codes, gids, cks,
-    kmax, KW, packed)` per planned class, return ({k: host stats},
-    leftover ks for the per-k fallback)."""
+    """Shared driver: pack members once, sort ONCE per planned class
+    (the sorted arrays stay on device), then run
+    `class_fn(skeys, spay, cks, kmax, KW, packed)` over ks chunks of
+    SCAN_KS_PER_CALL so no single XLA program unrolls the whole grid.
+    Returns ({k: host stats}, leftover ks for the per-k fallback)."""
     from .occurrence import pack_members
 
     n_members = len(member_codes)
@@ -303,9 +297,14 @@ def _run_classes(member_codes: Sequence[np.ndarray], ks: Sequence[int],
         codes, gids = pack_members(member_codes)
         cj, gj = jnp.asarray(codes), jnp.asarray(gids)
         for kmax, KW, cks, packed in classes:
-            stats = np.asarray(class_fn(cj, gj, cks, kmax, KW, packed))
-            for i, k in enumerate(cks):
-                out[k] = stats[i]
+            skeys, spay = _sorted_doubled_fn(cj, gj, kmax, KW, packed)
+            for i0 in range(0, len(cks), SCAN_KS_PER_CALL):
+                chunk = cks[i0 : i0 + SCAN_KS_PER_CALL]
+                stats = np.asarray(
+                    class_fn(skeys, spay, chunk, kmax, KW, packed)
+                )
+                for i, k in enumerate(chunk):
+                    out[k] = stats[i]
     return out, remaining
 
 
@@ -317,8 +316,8 @@ def pivot_rest_counts_sweep(
     return _run_classes(
         member_codes,
         ks,
-        lambda c, g, cks, kmax, KW, packed: _sweep_class_pivot_rest(
-            c, g, cks, kmax, KW, n_rest, cs, packed
+        lambda sk, sp, cks, kmax, KW, packed: _sweep_class_pivot_rest(
+            sk, sp, cks, kmax, KW, n_rest, cs, packed
         ),
     )
 
@@ -330,8 +329,8 @@ def multi_pivot_counts_sweep(
     return _run_classes(
         member_codes,
         ks,
-        lambda c, g, cks, kmax, KW, packed: _sweep_class_multi_pivot(
-            c, g, cks, kmax, KW, D, cs, packed
+        lambda sk, sp, cks, kmax, KW, packed: _sweep_class_multi_pivot(
+            sk, sp, cks, kmax, KW, D, cs, packed
         ),
     )
 
@@ -344,8 +343,8 @@ def containment_counts_sweep(
     return _run_classes(
         member_codes,
         ks,
-        lambda c, g, cks, kmax, KW, packed: _sweep_class_containment(
-            c, g, cks, kmax, KW, nq, ng, cs, packed
+        lambda sk, sp, cks, kmax, KW, packed: _sweep_class_containment(
+            sk, sp, cks, kmax, KW, nq, ng, cs, packed
         ),
     )
 
@@ -364,10 +363,13 @@ def feature_buckets_sweep(
         codes, gids = pack_members(member_codes)
         cj, gj = jnp.asarray(codes), jnp.asarray(gids)
         for kmax, KW, cks, packed in classes:
-            b, u = _sweep_class_feature_buckets(
-                cj, gj, cks, kmax, KW, D, cs, cap, packed
-            )
-            b, u = np.asarray(b), np.asarray(u)
-            for i, k in enumerate(cks):
-                out[k] = (b[i].astype(np.int64), int(u[i]))
+            skeys, spay = _sorted_doubled_fn(cj, gj, kmax, KW, packed)
+            for i0 in range(0, len(cks), SCAN_KS_PER_CALL):
+                chunk = cks[i0 : i0 + SCAN_KS_PER_CALL]
+                b, u = _sweep_class_feature_buckets(
+                    skeys, spay, chunk, kmax, KW, D, cs, cap, packed
+                )
+                b, u = np.asarray(b), np.asarray(u)
+                for i, k in enumerate(chunk):
+                    out[k] = (b[i].astype(np.int64), int(u[i]))
     return out, remaining

@@ -92,7 +92,7 @@ def _canon(stat_d, stat_p):
 # program OOM-killed the AOT compile helper at realistic scale (exp2's
 # 30 x 9-bin graph hit ~200 KB of MLIR).  The sort is jitted once and
 # the scans consume it in chunks of at most this many ks per program.
-SCAN_KS_PER_CALL = 5
+SCAN_KS_PER_CALL = 2
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
@@ -107,14 +107,22 @@ def _sorted_doubled_fn(codes, gids, kmax, KW, packed):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
-def _sweep_class_pivot_rest(skeys, spay, ks, kmax, KW, n_rest, cs, packed):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _sweep_class_pivot_rest(skeys, spay, ks, kmax, KW, n_rest, cs, packed,
+                            use_pallas=False):
     """(len(ks), n_rest+1) int32: [ki, j] = #canonical classes present in
     the pivot (member 0) and in exactly j of the rest members (1..n_rest).
 
     j = 0 -> `kmers_subtract` classes (all count 1); j >= 1 -> the
     `intersect -ocsum` class count at intersection count 1 + j
     (reference exp_type_2.smk:354-380 semantics)."""
+    if use_pallas:
+        from ..kernels.ksweep_scan_pallas import scan_multi_k_pallas
+
+        return scan_multi_k_pallas(
+            skeys, spay, ks, kmax, KW, n_rest + 1, cs, packed=packed,
+            mode="pivot_rest", mode_params=n_rest,
+        )
     prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
     rest_mask = jnp.uint32(((1 << (n_rest + 1)) - 1) & ~1)
 
@@ -147,11 +155,20 @@ def _sweep_class_pivot_rest(skeys, spay, ks, kmax, KW, n_rest, cs, packed):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7))
-def _sweep_class_multi_pivot(skeys, spay, ks, kmax, KW, D, cs, packed):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+def _sweep_class_multi_pivot(skeys, spay, ks, kmax, KW, D, cs, packed,
+                             use_pallas=False):
     """(len(ks), D, D) int32: [ki, num, j] = #canonical classes present in
     pivot `num` and in exactly j of the OTHER datasets' group sets
     (pivot num's own group excluded, exp_type_2.smk:263-283)."""
+    if use_pallas:
+        from ..kernels.ksweep_scan_pallas import scan_multi_k_pallas
+
+        flat = scan_multi_k_pallas(
+            skeys, spay, ks, kmax, KW, 2 * D, cs, packed=packed,
+            mode="multi_pivot", mode_params=D,
+        )
+        return flat.reshape(len(ks), D, D)
     prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
 
     rows = []
@@ -184,12 +201,21 @@ def _sweep_class_multi_pivot(skeys, spay, ks, kmax, KW, D, cs, packed):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
-def _sweep_class_containment(skeys, spay, ks, kmax, KW, nq, ng, cs, packed):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def _sweep_class_containment(skeys, spay, ks, kmax, KW, nq, ng, cs, packed,
+                             use_pallas=False):
     """(len(ks), nq, ng+1) int32: [ki, q, 0] = #canonical classes in query
     set q (the |distinct(reads)| denominator); [ki, q, 1+g] = #classes in
     query q AND group g (the intersection numerator)
     (reference exp_type_3.smk:281-320)."""
+    if use_pallas:
+        from ..kernels.ksweep_scan_pallas import scan_multi_k_pallas
+
+        flat = scan_multi_k_pallas(
+            skeys, spay, ks, kmax, KW, nq + ng, cs, packed=packed,
+            mode="containment", mode_params=(nq, ng),
+        )
+        return flat.reshape(len(ks), nq, ng + 1)
     prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
 
     rows = []
@@ -281,8 +307,35 @@ def _sweep_class_feature_buckets(skeys, spay, ks, kmax, KW, D, cs, cap, packed):
 # --------------------------------------------------------------------------
 
 
+def _classify_pallas_ok(n2: int, n_members: int, out_bins: int) -> bool:
+    from ..kernels.ksweep_scan_pallas import BINS_PAD, TILE
+    from .occurrence import compute_on_tpu
+
+    return (
+        n2 % TILE == 0 and n_members <= 32 and out_bins <= BINS_PAD
+        and compute_on_tpu()
+    )
+
+
+def _xla_scan_too_big(n2: int, budget_fraction: float = 0.35) -> bool:
+    """True when the XLA classify scan's ~6 u32 temporaries per element
+    would overrun device memory next to the live sorted arrays."""
+    from .occurrence import compute_on_tpu
+
+    if not compute_on_tpu():
+        return False
+    try:
+        import jax
+
+        limit = jax.devices()[0].memory_stats().get("bytes_limit", 16 << 30)
+    except Exception:
+        limit = 16 << 30
+    return n2 * 6 * 4 > limit * budget_fraction
+
+
 def _run_classes(member_codes: Sequence[np.ndarray], ks: Sequence[int],
-                 class_fn) -> Tuple[Dict[int, np.ndarray], List[int]]:
+                 class_fn, n_mask_members: int, out_bins: int
+                 ) -> Tuple[Dict[int, np.ndarray], List[int]]:
     """Shared driver: pack members once, sort ONCE per planned class
     (the sorted arrays stay on device), then run
     `class_fn(skeys, spay, cks, kmax, KW, packed)` over ks chunks of
@@ -295,13 +348,24 @@ def _run_classes(member_codes: Sequence[np.ndarray], ks: Sequence[int],
     out: Dict[int, np.ndarray] = {}
     if classes:
         codes, gids = pack_members(member_codes)
+        n2 = 2 * int(codes.shape[0])
+        use_pallas = _classify_pallas_ok(n2, n_mask_members, out_bins)
+        if not use_pallas and _xla_scan_too_big(n2):
+            # on-TPU XLA scan would OOM next to the sorted arrays and the
+            # Pallas gate refused (odd tile size / too many bins) — let
+            # the per-k fallback handle every k instead
+            return {}, sorted(set(int(k) for k in ks))
+        # the Pallas scan holds no per-k device temporaries, so the whole
+        # grid fits one call chain; the XLA fallback chunks tightly (its
+        # per-k 32-bit temps at realistic scale are what OOMed the chip)
+        step = len(ks) if use_pallas else SCAN_KS_PER_CALL
         cj, gj = jnp.asarray(codes), jnp.asarray(gids)
         for kmax, KW, cks, packed in classes:
             skeys, spay = _sorted_doubled_fn(cj, gj, kmax, KW, packed)
-            for i0 in range(0, len(cks), SCAN_KS_PER_CALL):
-                chunk = cks[i0 : i0 + SCAN_KS_PER_CALL]
+            for i0 in range(0, len(cks), step):
+                chunk = cks[i0 : i0 + step]
                 stats = np.asarray(
-                    class_fn(skeys, spay, chunk, kmax, KW, packed)
+                    class_fn(skeys, spay, chunk, kmax, KW, packed, use_pallas)
                 )
                 for i, k in enumerate(chunk):
                     out[k] = stats[i]
@@ -316,9 +380,11 @@ def pivot_rest_counts_sweep(
     return _run_classes(
         member_codes,
         ks,
-        lambda sk, sp, cks, kmax, KW, packed: _sweep_class_pivot_rest(
-            sk, sp, cks, kmax, KW, n_rest, cs, packed
+        lambda sk, sp, cks, kmax, KW, packed, up: _sweep_class_pivot_rest(
+            sk, sp, cks, kmax, KW, n_rest, cs, packed, up
         ),
+        n_rest + 1,
+        n_rest + 1,
     )
 
 
@@ -329,9 +395,11 @@ def multi_pivot_counts_sweep(
     return _run_classes(
         member_codes,
         ks,
-        lambda sk, sp, cks, kmax, KW, packed: _sweep_class_multi_pivot(
-            sk, sp, cks, kmax, KW, D, cs, packed
+        lambda sk, sp, cks, kmax, KW, packed, up: _sweep_class_multi_pivot(
+            sk, sp, cks, kmax, KW, D, cs, packed, up
         ),
+        2 * D,
+        D * D,
     )
 
 
@@ -343,9 +411,11 @@ def containment_counts_sweep(
     return _run_classes(
         member_codes,
         ks,
-        lambda sk, sp, cks, kmax, KW, packed: _sweep_class_containment(
-            sk, sp, cks, kmax, KW, nq, ng, cs, packed
+        lambda sk, sp, cks, kmax, KW, packed, up: _sweep_class_containment(
+            sk, sp, cks, kmax, KW, nq, ng, cs, packed, up
         ),
+        nq + ng,
+        nq * (ng + 1),
     )
 
 
@@ -361,6 +431,20 @@ def feature_buckets_sweep(
     out: Dict[int, tuple] = {}
     if classes:
         codes, gids = pack_members(member_codes)
+        # exp4's count-weighted scan has no Pallas mode yet (it needs a
+        # segmented SUM channel); its XLA per-k temporaries at 32 bits x
+        # elements OOM HBM when the doubled text approaches device
+        # memory, so large inputs take the per-k annotation fallback
+        n2 = 2 * int(codes.shape[0])
+        if _xla_scan_too_big(n2):
+            from ..utils.logging import get_logger
+
+            get_logger("khoice.ksweep_classify").warning(
+                "exp4 sweep: %dM doubled elements exceed the XLA scan's "
+                "device-memory envelope; using the per-k annotation path",
+                n2 // 1_000_000,
+            )
+            return {}, sorted(set(int(k) for k in ks))
         cj, gj = jnp.asarray(codes), jnp.asarray(gids)
         for kmax, KW, cks, packed in classes:
             skeys, spay = _sorted_doubled_fn(cj, gj, kmax, KW, packed)

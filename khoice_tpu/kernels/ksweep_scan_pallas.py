@@ -173,7 +173,74 @@ def _pal_vec(cur, rev, k, KW):
     return eq
 
 
-def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed):
+def _popcount32(x):
+    """Full-word popcount (Mosaic-safe SWAR)."""
+    x = x - ((x >> 1) & jnp.uint32(0x55555555))
+    x = (x & jnp.uint32(0x33333333)) + ((x >> 2) & jnp.uint32(0x33333333))
+    x = (x + (x >> 4)) & jnp.uint32(0x0F0F0F0F)
+    x = x + (x >> 8)
+    return (x + (x >> 16)) & jnp.uint32(0x3F)
+
+
+def _mode_stats(sub, mode, G, cs, mp):
+    """[(output bin index, hit mask)] for one k's per-element run masks.
+
+    sub: the k's accumulated member-presence bitmask (uint32 array of any
+    shape).  Modes mirror engine/ksweep_classify.py's XLA scans:
+
+    - "occ": exp1 — bins 1..G by distinct-member popcount (cap cs)
+    - "pivot_rest": exp2 within — member 0 = pivot; bins by popcount of
+      the rest bits, pivot-present classes only (mp = n_rest)
+    - "multi_pivot": exp2 across — mp = D; pivots bits 0..D-1, group
+      sets D..2D-1; bin (num, j) = pivot num present with j OTHER groups
+    - "containment": exp3 — mp = (nq, ng); bin (q, 0) = query q present,
+      (q, 1+g) = query q AND group g present
+    """
+    ipc = _popcount32(sub).astype(jnp.int32)
+    if mode == "occ":
+        b = jnp.minimum(ipc, cs)
+        return [(bb - 1, b == bb) for bb in range(1, G + 1)]
+    if mode == "pivot_rest":
+        nr = mp
+        selp = (sub & 1) == 1
+        occ = _popcount32(sub >> 1).astype(jnp.int32)
+        return [(j, selp & (occ == j)) for j in range(nr + 1)]
+    if mode == "multi_pivot":
+        D = mp
+        out = []
+        for num in range(D):
+            sel = ((sub >> num) & 1) == 1
+            others = jnp.uint32((((1 << D) - 1) & ~(1 << num)) << D)
+            occ = _popcount32(sub & others).astype(jnp.int32)
+            out.extend((num * D + j, sel & (occ == j)) for j in range(D))
+        return out
+    if mode == "containment":
+        nq, ng = mp
+        out = []
+        for q in range(nq):
+            sq = ((sub >> q) & 1) == 1
+            out.append((q * (ng + 1), sq))
+            out.extend(
+                (q * (ng + 1) + 1 + g, sq & (((sub >> (nq + g)) & 1) == 1))
+                for g in range(ng)
+            )
+        return out
+    raise ValueError(f"unknown scan mode {mode!r}")
+
+
+def mode_out_bins(mode: str, G: int, mp) -> int:
+    if mode == "occ":
+        return G
+    if mode == "pivot_rest":
+        return mp + 1
+    if mode == "multi_pivot":
+        return mp * mp
+    if mode == "containment":
+        return mp[0] * (mp[1] + 1)
+    raise ValueError(f"unknown scan mode {mode!r}")
+
+
+def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed, mode="occ", mp=None):
     # refs: key words [KW], payload (absent when packed), out
     #        (2*n_ks, BINS_PAD) [hist_d rows, then hist_pal rows], carry
     #        SMEM [KW + n_channels + 1], cum VMEM (2*n_ks, BINS_PAD)
@@ -232,13 +299,10 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed):
         v = v | (~K & jnp.full_like(v, carry[KW + c]))
         # previous element's accumulated OR (first element <- carried OR)
         pv = _shift_lin1(v, jnp.full_like(v, carry[KW + c]))
-        pc = _swar_counts(pv, bits)
 
         for s, k in enumerate(cks):
             ki = c * per_word + s
-            b = jnp.minimum(
-                ((pc >> (s * bits)) & subfield_max).astype(jnp.int32), cs
-            )
+            sub = (pv >> (s * bits)) & subfield_max
             closing = key_new[ki]
             if k % 2 == 0:
                 pal_prev_u = _shift_lin1(
@@ -249,13 +313,13 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed):
             bin_lane = jax.lax.broadcasted_iota(jnp.int32, (1, BINS_PAD), 1)
             upd_d = jnp.zeros((1, BINS_PAD), jnp.int32)
             upd_p = jnp.zeros((1, BINS_PAD), jnp.int32)
-            for bb in range(1, G + 1):
-                hit = closing & (b == bb)
+            for idx, m in _mode_stats(sub, mode, G, cs, mp):
+                hit = closing & m
                 cnt = jnp.sum(hit.astype(jnp.int32))
-                upd_d = upd_d + jnp.where(bin_lane == bb - 1, cnt, 0)
+                upd_d = upd_d + jnp.where(bin_lane == idx, cnt, 0)
                 if k % 2 == 0:
                     cnt_p = jnp.sum((hit & pal_prev).astype(jnp.int32))
-                    upd_p = upd_p + jnp.where(bin_lane == bb - 1, cnt_p, 0)
+                    upd_p = upd_p + jnp.where(bin_lane == idx, cnt_p, 0)
             cum[ki : ki + 1, :] = cum[ki : ki + 1, :] + upd_d
             if k % 2 == 0:
                 cum[n_ks + ki : n_ks + ki + 1, :] = (
@@ -265,16 +329,16 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed):
         # close the final open run of this channel's ks on the last tile
         @pl.when(i == n_prog - 1)
         def _(c=c, v=v, cks=cks):
-            pc_last = _swar_counts(v, bits)[ROWS - 1, COLS - 1]
+            v_last = v[ROWS - 1, COLS - 1]
             for s, k in enumerate(cks):
                 ki = c * per_word + s
-                b = jnp.minimum(
-                    ((pc_last >> (s * bits)) & subfield_max).astype(jnp.int32), cs
-                )
+                sub_last = (v_last >> (s * bits)) & subfield_max
                 bin_lane = jax.lax.broadcasted_iota(jnp.int32, (1, BINS_PAD), 1)
-                add = jnp.where(
-                    (bin_lane == b - 1) & (b >= 1), 1, 0
-                ).astype(jnp.int32)
+                add = jnp.zeros((1, BINS_PAD), jnp.int32)
+                for idx, m in _mode_stats(sub_last, mode, G, cs, mp):
+                    add = add + jnp.where(
+                        (bin_lane == idx) & m, 1, 0
+                    ).astype(jnp.int32)
                 cum[ki : ki + 1, :] = cum[ki : ki + 1, :] + add
                 if k % 2 == 0:
                     pal_last = pal[k].astype(jnp.int32)[ROWS - 1, COLS - 1]
@@ -304,8 +368,9 @@ def _mask_bits(G: int) -> int:
     return 8 if G <= 8 else 16 if G <= 16 else 32
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
-def _scan_chunk(skeys, spay, ks, kmax, KW, G, cs, interpret=False, packed=False):
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
+def _scan_chunk(skeys, spay, ks, kmax, KW, G, cs, interpret=False, packed=False,
+                mode="occ", mp=None):
     n = skeys[0].shape[0]
     assert n % TILE == 0, f"length {n} not a multiple of {TILE}"
     n_ks = len(ks)
@@ -320,7 +385,8 @@ def _scan_chunk(skeys, spay, ks, kmax, KW, G, cs, interpret=False, packed=False)
     ]
     out = pl.pallas_call(
         functools.partial(
-            _kernel, ks=ks, kmax=kmax, KW=KW, G=G, cs=cs, bits=bits, packed=packed
+            _kernel, ks=ks, kmax=kmax, KW=KW, G=G, cs=cs, bits=bits,
+            packed=packed, mode=mode, mp=mp,
         ),
         grid=(n // TILE,),
         in_specs=in_specs,
@@ -339,28 +405,36 @@ def _scan_chunk(skeys, spay, ks, kmax, KW, G, cs, interpret=False, packed=False)
 
 def scan_multi_k_pallas(
     skeys, spay, ks, kmax, KW, n_members, cs, interpret=False, packed=False,
-    raw=False,
+    raw=False, mode="occ", mode_params=None,
 ):
-    """Canonical histograms (len(ks), n_members) from the shared sort.
+    """Per-k statistics (len(ks), out_bins) from the shared sort.
+
+    mode="occ" (default): canonical occurrence histograms over n_members
+    bins; the classification modes (see _mode_stats) read exp2/3/4's
+    quantities out of the same scan — n_members stays the MASK width
+    (total packed members), out bins come from mode_out_bins.
 
     ks are processed in chunks of MAX_KS_PER_CALL (bounding VMEM and compile
     size); the sorted arrays are re-read per chunk (cheap, bandwidth-bound).
     packed=True reads gid/nio from the last key word's spare bits (spay
-    unused, may be None).  raw=True returns the (2, n_ks, n_members)
+    unused, may be None).  raw=True returns the (2, n_ks, out_bins)
     (doubled, palindromic) pair WITHOUT the (d+p)//2 canonical combine —
     for consumers that sum partial histograms over key ranges first (the
     sharded and streaming sweeps), where a class's two strand runs can
     land in different shards/groups.
     """
+    nb = mode_out_bins(mode, n_members, mode_params)
+    assert nb <= BINS_PAD, f"{mode} needs {nb} bins > {BINS_PAD}"
     chunks = [
         tuple(ks[i : i + MAX_KS_PER_CALL])
         for i in range(0, len(ks), MAX_KS_PER_CALL)
     ]
     outs = [
-        _scan_chunk(skeys, spay, chunk, kmax, KW, n_members, cs, interpret, packed)
+        _scan_chunk(skeys, spay, chunk, kmax, KW, n_members, cs, interpret,
+                    packed, mode, mode_params)
         for chunk in chunks
     ]
     dp = jnp.concatenate(outs, axis=1)  # (2, n_ks, BINS_PAD)
     if raw:
-        return dp[:, :, :n_members]
-    return (dp[0, :, :n_members] + dp[1, :, :n_members]) // 2
+        return dp[:, :, :nb]
+    return (dp[0, :, :nb] + dp[1, :, :nb]) // 2

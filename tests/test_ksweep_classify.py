@@ -147,3 +147,74 @@ def test_group_mask_annotation_matches_merge(rng):
         np.testing.assert_array_equal(v_new, v_old, err_msg=f"k={k}")
         np.testing.assert_array_equal(u_new, u_old)
         np.testing.assert_array_equal(n_new, n_old)
+
+
+def test_pallas_classify_modes_match_xla(rng):
+    """The Pallas kernel's classification modes (pivot_rest, multi_pivot,
+    containment) must equal the XLA scans bin-for-bin — interpret mode on
+    CPU, even and odd ks, shared cores + palindromes + N runs."""
+    from khoice_tpu.engine.ksweep import plan_sweep
+    from khoice_tpu.engine.ksweep_classify import (
+        _sorted_doubled_fn,
+        _sweep_class_containment,
+        _sweep_class_multi_pivot,
+        _sweep_class_pivot_rest,
+    )
+    from khoice_tpu.engine.occurrence import pack_members
+    from khoice_tpu.kernels.ksweep_scan_pallas import TILE, scan_multi_k_pallas
+
+    import jax.numpy as jnp
+
+    pivot, rest = _world(rng)
+    D = 2
+    # bulk the members up so the packed doubled text reaches the Pallas
+    # TILE granule (pack_members pads to powers of two)
+    filler = random_dna(rng, 5500)
+    members = (
+        [encode_records(pivot + [filler])]
+        + [encode_records(g) for g in rest[:3]]
+        + [encode_records(rest[3])]
+    )
+    ks = (6, 8, 11, 16, 21)
+    n_members = len(members)
+    classes, rem = plan_sweep(ks, n_members)
+    assert not rem
+    codes, gids = pack_members(members)
+    n2 = 2 * codes.shape[0]
+    assert n2 % TILE == 0, "pad codes for the tile grid"
+    kmax, KW, cks, packed = classes[0]
+    skeys, spay = _sorted_doubled_fn(jnp.asarray(codes), jnp.asarray(gids),
+                                     kmax, KW, packed)
+
+    n_rest = n_members - 1
+    want = np.asarray(_sweep_class_pivot_rest(
+        skeys, spay, cks, kmax, KW, n_rest, 5000, packed))
+    got = np.asarray(scan_multi_k_pallas(
+        skeys, spay, cks, kmax, KW, n_rest + 1, 5000, interpret=True,
+        packed=packed, mode="pivot_rest", mode_params=n_rest))
+    np.testing.assert_array_equal(got, want, err_msg="pivot_rest")
+
+    # multi_pivot needs members laid out as D pivots + D groups
+    members2 = [encode_records(pivot + [filler]), encode_records(rest[0]),
+                encode_records(rest[1]), encode_records(rest[2])]
+    codes2, gids2 = pack_members(members2)
+    classes2, _ = plan_sweep(ks, 4)
+    kmax2, KW2, cks2, packed2 = classes2[0]
+    sk2, sp2 = _sorted_doubled_fn(jnp.asarray(codes2), jnp.asarray(gids2),
+                                  kmax2, KW2, packed2)
+    want = np.asarray(_sweep_class_multi_pivot(
+        sk2, sp2, cks2, kmax2, KW2, D, 5000, packed2))
+    got = np.asarray(scan_multi_k_pallas(
+        sk2, sp2, cks2, kmax2, KW2, 2 * D, 5000, interpret=True,
+        packed=packed2, mode="multi_pivot", mode_params=D)
+    ).reshape(len(cks2), D, D)
+    np.testing.assert_array_equal(got, want, err_msg="multi_pivot")
+
+    nq, ng = 2, 2
+    want = np.asarray(_sweep_class_containment(
+        sk2, sp2, cks2, kmax2, KW2, nq, ng, 5000, packed2))
+    got = np.asarray(scan_multi_k_pallas(
+        sk2, sp2, cks2, kmax2, KW2, nq + ng, 5000, interpret=True,
+        packed=packed2, mode="containment", mode_params=(nq, ng))
+    ).reshape(len(cks2), nq, ng + 1)
+    np.testing.assert_array_equal(got, want, err_msg="containment")

@@ -250,8 +250,9 @@ def _sweep_class_containment(skeys, spay, ks, kmax, KW, nq, ng, cs, packed,
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
-def _sweep_class_feature_buckets(skeys, spay, ks, kmax, KW, D, cs, cap, packed):
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+def _sweep_class_feature_buckets(skeys, spay, ks, kmax, KW, D, cs, cap, packed,
+                                 use_pallas=False):
     """exp4 feature buckets for every k of a class in one sort.
 
     Returns (buckets (len(ks), D, D) int32, unique (len(ks),) int32):
@@ -262,6 +263,14 @@ def _sweep_class_feature_buckets(skeys, spay, ks, kmax, KW, D, cs, cap, packed):
     (src/merge_lists.py:134-149 semantics, counter saturation at `cap` =
     KMC's 255 default).  A palindromic run carries both strands'
     occurrences, so its multiplicity is halved BEFORE saturation."""
+    if use_pallas:
+        from ..kernels.ksweep_scan_pallas import scan_multi_k_pallas
+
+        flat = scan_multi_k_pallas(
+            skeys, spay, ks, kmax, KW, D + 1, cs, packed=packed,
+            mode="buckets", mode_params=(D, cap),
+        )
+        return flat[:, : D * D].reshape(len(ks), D, D), flat[:, D * D]
     prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
 
     b_rows, u_rows = [], []
@@ -431,27 +440,30 @@ def feature_buckets_sweep(
     out: Dict[int, tuple] = {}
     if classes:
         codes, gids = pack_members(member_codes)
-        # exp4's count-weighted scan has no Pallas mode yet (it needs a
-        # segmented SUM channel); its XLA per-k temporaries at 32 bits x
-        # elements OOM HBM when the doubled text approaches device
-        # memory, so large inputs take the per-k annotation fallback
         n2 = 2 * int(codes.shape[0])
-        if _xla_scan_too_big(n2):
+        # Pallas "buckets" mode: the saturating 16-bit sum channel needs
+        # cap <= 511 (pal halving happens before saturation at 1023)
+        use_pallas = (
+            _classify_pallas_ok(n2, D + 1, D * D + 1) and cap <= 511
+        )
+        if not use_pallas and _xla_scan_too_big(n2):
             from ..utils.logging import get_logger
 
             get_logger("khoice.ksweep_classify").warning(
                 "exp4 sweep: %dM doubled elements exceed the XLA scan's "
-                "device-memory envelope; using the per-k annotation path",
-                n2 // 1_000_000,
+                "device-memory envelope and the Pallas gate refused; "
+                "using the per-k annotation path", n2 // 1_000_000,
             )
             return {}, sorted(set(int(k) for k in ks))
+        step = len(ks) if use_pallas else SCAN_KS_PER_CALL
         cj, gj = jnp.asarray(codes), jnp.asarray(gids)
         for kmax, KW, cks, packed in classes:
             skeys, spay = _sorted_doubled_fn(cj, gj, kmax, KW, packed)
-            for i0 in range(0, len(cks), SCAN_KS_PER_CALL):
-                chunk = cks[i0 : i0 + SCAN_KS_PER_CALL]
+            for i0 in range(0, len(cks), step):
+                chunk = cks[i0 : i0 + step]
                 b, u = _sweep_class_feature_buckets(
-                    skeys, spay, chunk, kmax, KW, D, cs, cap, packed
+                    skeys, spay, chunk, kmax, KW, D, cs, cap, packed,
+                    use_pallas,
                 )
                 b, u = np.asarray(b), np.asarray(u)
                 for i, k in enumerate(chunk):

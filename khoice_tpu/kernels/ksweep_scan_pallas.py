@@ -173,6 +173,39 @@ def _pal_vec(cur, rev, k, KW):
     return eq
 
 
+SUM_BITS = 16          # sum-channel subfield width (2 ks per word)
+SUM_SAT = 1023         # saturation; valid for caps <= (SUM_SAT - 1) // 2
+
+
+def _satadd16(a, b):
+    """Per-16-bit-field saturating add (fields <= SUM_SAT, so the raw sum
+    never carries across fields)."""
+    s = a + b
+    lo = jnp.minimum(s & jnp.uint32(0xFFFF), jnp.uint32(SUM_SAT))
+    hi = jnp.minimum(s >> 16, jnp.uint32(SUM_SAT))
+    return (hi << 16) | lo
+
+
+def _seg_sum_2level(v, K):
+    """Segmented saturating-SUM scan, same structure as _seg_scan_2level
+    (kill fields K are 16-bit all-ones where a segment restarts)."""
+    s = 1
+    while s < COLS:
+        v = _satadd16(v, _roll_right_cols(v, s) & ~K)
+        K = K | _roll_right_cols(K, s)
+        s *= 2
+    sv = v[:, COLS - 1 : COLS]
+    sK = K[:, COLS - 1 : COLS]
+    s = 1
+    while s < ROWS:
+        sv = _satadd16(sv, _roll_down_rows(sv, s) & ~sK)
+        sK = sK | _roll_down_rows(sK, s)
+        s *= 2
+    pv = _roll_down_rows(sv, 1)
+    pK = _roll_down_rows(sK, 1)
+    return _satadd16(v, pv & ~K), K | pK
+
+
 def _popcount32(x):
     """Full-word popcount (Mosaic-safe SWAR)."""
     x = x - ((x >> 1) & jnp.uint32(0x55555555))
@@ -195,6 +228,10 @@ def _mode_stats(sub, mode, G, cs, mp):
       sets D..2D-1; bin (num, j) = pivot num present with j OTHER groups
     - "containment": exp3 — mp = (nq, ng); bin (q, 0) = query q present,
       (q, 1+g) = query q AND group g present
+    - "buckets": exp4 — mp = D; member 0 = pivot, groups 1..D; bin
+      (d, m-1) = pivot-present class in group d with |matches| = m, bin
+      D*D = matched-nothing.  The kernel weights hits by the class's
+      saturated pivot multiplicity (the segmented SUM channel).
     """
     ipc = _popcount32(sub).astype(jnp.int32)
     if mode == "occ":
@@ -225,6 +262,20 @@ def _mode_stats(sub, mode, G, cs, mp):
                 for g in range(ng)
             )
         return out
+    if mode == "buckets":
+        D = mp[0]
+        selp = (sub & 1) == 1
+        gbits = (sub >> 1) & jnp.uint32((1 << D) - 1)
+        nmatch = _popcount32(gbits).astype(jnp.int32)
+        out = []
+        for d in range(D):
+            in_d = ((gbits >> d) & 1) == 1
+            out.extend(
+                (d * D + (m - 1), selp & in_d & (nmatch == m))
+                for m in range(1, D + 1)
+            )
+        out.append((D * D, selp & (nmatch == 0)))
+        return out
     raise ValueError(f"unknown scan mode {mode!r}")
 
 
@@ -237,16 +288,20 @@ def mode_out_bins(mode: str, G: int, mp) -> int:
         return mp * mp
     if mode == "containment":
         return mp[0] * (mp[1] + 1)
+    if mode == "buckets":
+        return mp[0] * mp[0] + 1
     raise ValueError(f"unknown scan mode {mode!r}")
 
 
 def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed, mode="occ", mp=None):
     # refs: key words [KW], payload (absent when packed), out
     #        (2*n_ks, BINS_PAD) [hist_d rows, then hist_pal rows], carry
-    #        SMEM [KW + n_channels + 1], cum VMEM (2*n_ks, BINS_PAD)
+    #        SMEM [KW + n_channels + 1 (+ sum channels for "buckets")],
+    #        cum VMEM (2*n_ks, BINS_PAD)
     n_ks = len(ks)
     per_word = 32 // bits
     n_ch = -(-n_ks // per_word)
+    n_sum_ch = -(-n_ks // 2) if mode == "buckets" else 0
     keys_ref = refs[:KW]
     off = KW if packed else KW + 1
     out_ref = refs[off]
@@ -263,6 +318,8 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed, mode="occ", mp=None):
         for c in range(n_ch):
             carry[KW + c] = jnp.uint32(0)
         carry[KW + n_ch] = jnp.uint32(0)
+        for sc in range(n_sum_ch):
+            carry[KW + n_ch + 1 + sc] = jnp.uint32(0)
         cum[:] = jnp.zeros((2 * n_ks, BINS_PAD), jnp.int32)
 
     cur = [keys_ref[wi][:] for wi in range(KW)]  # (ROWS, COLS)
@@ -283,6 +340,35 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed, mode="occ", mp=None):
     key_new = [_key_new_vec(cur, prev, k, KW) for k in ks]
     rev = _rev2comp_vec(cur)
     pal = {k: _pal_vec(cur, rev, k, KW) for k in ks if k % 2 == 0}
+
+    # "buckets" weights: the pivot's (member 0) saturated multiplicity per
+    # run, from a segmented saturating-SUM scan (two 16-bit ks per word)
+    w_of, w_last = {}, {}
+    if mode == "buckets":
+        sum_base = KW + n_ch + 1
+        for sc in range(n_sum_ch):
+            sks = list(enumerate(ks))[2 * sc : 2 * sc + 2]
+            vsum = jnp.zeros_like(cur[0])
+            Ksum = jnp.zeros_like(cur[0])
+            for s, (ka, k) in enumerate(sks):
+                vsum = vsum | jnp.where(
+                    (nio >= k) & (gid == 0),
+                    jnp.uint32(1) << (SUM_BITS * s), jnp.uint32(0),
+                )
+                Ksum = Ksum | jnp.where(
+                    key_new[ka], jnp.uint32(0xFFFF) << (SUM_BITS * s),
+                    jnp.uint32(0),
+                )
+            vsum, Ksum = _seg_sum_2level(vsum, Ksum)
+            vsum = _satadd16(
+                vsum, jnp.full_like(vsum, carry[sum_base + sc]) & ~Ksum
+            )
+            pvs = _shift_lin1(vsum, jnp.full_like(vsum, carry[sum_base + sc]))
+            v_last_sc = vsum[ROWS - 1, COLS - 1]
+            for s, (ka, k) in enumerate(sks):
+                w_of[ka] = (pvs >> (SUM_BITS * s)) & jnp.uint32(0xFFFF)
+                w_last[ka] = (v_last_sc >> (SUM_BITS * s)) & jnp.uint32(0xFFFF)
+            carry[sum_base + sc] = v_last_sc
 
     base = jnp.uint32(1) << gid  # one-hot gid, fits in the low `bits` bits
     for c in range(n_ch):
@@ -313,12 +399,27 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed, mode="occ", mp=None):
             bin_lane = jax.lax.broadcasted_iota(jnp.int32, (1, BINS_PAD), 1)
             upd_d = jnp.zeros((1, BINS_PAD), jnp.int32)
             upd_p = jnp.zeros((1, BINS_PAD), jnp.int32)
+            if mode == "buckets":
+                # per-run pivot multiplicity, palindromic runs halved
+                # BEFORE the saturation cap (they hold both strands)
+                cw = w_of[ki]
+                if k % 2 == 0:
+                    cw = jnp.where(pal_prev, cw >> 1, cw)
+                cw = jnp.minimum(cw, jnp.uint32(mp[1])).astype(jnp.int32)
+            else:
+                cw = None
             for idx, m in _mode_stats(sub, mode, G, cs, mp):
                 hit = closing & m
-                cnt = jnp.sum(hit.astype(jnp.int32))
+                if cw is None:
+                    cnt = jnp.sum(hit.astype(jnp.int32))
+                else:
+                    cnt = jnp.sum(jnp.where(hit, cw, 0))
                 upd_d = upd_d + jnp.where(bin_lane == idx, cnt, 0)
                 if k % 2 == 0:
-                    cnt_p = jnp.sum((hit & pal_prev).astype(jnp.int32))
+                    if cw is None:
+                        cnt_p = jnp.sum((hit & pal_prev).astype(jnp.int32))
+                    else:
+                        cnt_p = jnp.sum(jnp.where(hit & pal_prev, cw, 0))
                     upd_p = upd_p + jnp.where(bin_lane == idx, cnt_p, 0)
             cum[ki : ki + 1, :] = cum[ki : ki + 1, :] + upd_d
             if k % 2 == 0:
@@ -335,9 +436,18 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed, mode="occ", mp=None):
                 sub_last = (v_last >> (s * bits)) & subfield_max
                 bin_lane = jax.lax.broadcasted_iota(jnp.int32, (1, BINS_PAD), 1)
                 add = jnp.zeros((1, BINS_PAD), jnp.int32)
+                if mode == "buckets":
+                    cwl = w_last[ki]
+                    if k % 2 == 0:
+                        pal_l = pal[k][ROWS - 1, COLS - 1]
+                        cwl = jnp.where(pal_l, cwl >> 1, cwl)
+                    cwl = jnp.minimum(cwl, jnp.uint32(mp[1])).astype(jnp.int32)
+                    unit = cwl
+                else:
+                    unit = 1
                 for idx, m in _mode_stats(sub_last, mode, G, cs, mp):
                     add = add + jnp.where(
-                        (bin_lane == idx) & m, 1, 0
+                        (bin_lane == idx) & m, unit, 0
                     ).astype(jnp.int32)
                 cum[ki : ki + 1, :] = cum[ki : ki + 1, :] + add
                 if k % 2 == 0:
@@ -395,7 +505,10 @@ def _scan_chunk(skeys, spay, ks, kmax, KW, G, cs, interpret=False, packed=False,
         ),
         out_shape=jax.ShapeDtypeStruct((2 * n_ks, BINS_PAD), jnp.int32),
         scratch_shapes=[
-            pltpu.SMEM((KW + n_ch + 1,), jnp.uint32),
+            pltpu.SMEM(
+                (KW + n_ch + 1 + (-(-n_ks // 2) if mode == "buckets" else 0),),
+                jnp.uint32,
+            ),
             pltpu.VMEM((2 * n_ks, BINS_PAD), jnp.int32),
         ],
         interpret=interpret,

@@ -218,3 +218,41 @@ def test_pallas_classify_modes_match_xla(rng):
         packed=packed2, mode="containment", mode_params=(nq, ng))
     ).reshape(len(cks2), nq, ng + 1)
     np.testing.assert_array_equal(got, want, err_msg="containment")
+
+
+def test_pallas_buckets_mode_match_xla(rng):
+    """The Pallas 'buckets' mode (saturating segmented SUM channel) must
+    equal the XLA count-weighted scan, incl. saturation at a small cap
+    and palindromic strand-halving before the cap."""
+    from khoice_tpu.engine.ksweep import plan_sweep
+    from khoice_tpu.engine.ksweep_classify import (
+        _sorted_doubled_fn,
+        _sweep_class_feature_buckets,
+    )
+    from khoice_tpu.engine.occurrence import pack_members
+    from khoice_tpu.kernels.ksweep_scan_pallas import scan_multi_k_pallas
+
+    import jax.numpy as jnp
+
+    pivot, rest = _world(rng)
+    # repeats so multiplicities exceed the cap
+    pivot = [pivot[0], pivot[0][:60] * 5, random_dna(rng, 5000)]
+    D = 4
+    members = [encode_records(pivot)] + [encode_records(g) for g in rest]
+    ks = (6, 8, 11, 16, 21)
+    cap = 5
+    classes, rem = plan_sweep(ks, len(members))
+    assert not rem
+    codes, gids = pack_members(members)
+    kmax, KW, cks, packed = classes[0]
+    skeys, spay = _sorted_doubled_fn(jnp.asarray(codes), jnp.asarray(gids),
+                                     kmax, KW, packed)
+    want_b, want_u = _sweep_class_feature_buckets(
+        skeys, spay, cks, kmax, KW, D, 5000, cap, packed)
+    flat = np.asarray(scan_multi_k_pallas(
+        skeys, spay, cks, kmax, KW, D + 1, 5000, interpret=True,
+        packed=packed, mode="buckets", mode_params=(D, cap)))
+    got_b = flat[:, : D * D].reshape(len(cks), D, D)
+    got_u = flat[:, D * D]
+    np.testing.assert_array_equal(got_b, np.asarray(want_b))
+    np.testing.assert_array_equal(got_u, np.asarray(want_u))

@@ -181,8 +181,11 @@ def _satadd16(a, b):
     """Per-16-bit-field saturating add (fields <= SUM_SAT, so the raw sum
     never carries across fields)."""
     s = a + b
-    lo = jnp.minimum(s & jnp.uint32(0xFFFF), jnp.uint32(SUM_SAT))
-    hi = jnp.minimum(s >> 16, jnp.uint32(SUM_SAT))
+    lo = s & jnp.uint32(0xFFFF)
+    hi = s >> 16
+    # Mosaic has no unsigned min (arith.minui): select instead
+    lo = jnp.where(lo > jnp.uint32(SUM_SAT), jnp.uint32(SUM_SAT), lo)
+    hi = jnp.where(hi > jnp.uint32(SUM_SAT), jnp.uint32(SUM_SAT), hi)
     return (hi << 16) | lo
 
 
@@ -405,7 +408,9 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed, mode="occ", mp=None):
                 cw = w_of[ki]
                 if k % 2 == 0:
                     cw = jnp.where(pal_prev, cw >> 1, cw)
-                cw = jnp.minimum(cw, jnp.uint32(mp[1])).astype(jnp.int32)
+                cw = jnp.where(
+                    cw > jnp.uint32(mp[1]), jnp.uint32(mp[1]), cw
+                ).astype(jnp.int32)
             else:
                 cw = None
             for idx, m in _mode_stats(sub, mode, G, cs, mp):
@@ -439,9 +444,12 @@ def _kernel(*refs, ks, kmax, KW, G, cs, bits, packed, mode="occ", mp=None):
                 if mode == "buckets":
                     cwl = w_last[ki]
                     if k % 2 == 0:
-                        pal_l = pal[k][ROWS - 1, COLS - 1]
-                        cwl = jnp.where(pal_l, cwl >> 1, cwl)
-                    cwl = jnp.minimum(cwl, jnp.uint32(mp[1])).astype(jnp.int32)
+                        # bool arrays can't scalar-extract in Mosaic
+                        pal_l = pal[k].astype(jnp.uint32)[ROWS - 1, COLS - 1]
+                        cwl = jnp.where(pal_l > 0, cwl >> 1, cwl)
+                    cwl = jnp.where(
+                        cwl > jnp.uint32(mp[1]), jnp.uint32(mp[1]), cwl
+                    ).astype(jnp.int32)
                     unit = cwl
                 else:
                     unit = 1

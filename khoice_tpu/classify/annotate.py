@@ -25,7 +25,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..engine.bits import searchsorted_words, take_words, words_is_sentinel
+from ..engine.bits import (
+    searchsorted_words,
+    take_words,
+    words_eq,
+    words_is_sentinel,
+)
 from ..engine.extract import extract_canonical
 from ..engine.ops import _run_starts, _run_sums, _sort_keys_counts
 from ..engine.table import KmerTable
@@ -190,6 +195,110 @@ def _read_votes(ann_parts, reads, _s, k, num_datasets, lcm):
 
     found = words_eq(found_keys, qkeys) & valid
     qmask = jnp.where(found, jnp.take(mask, idx, mode="clip"), 0)
+    nmatch = jax.lax.population_count(qmask)
+    weight = jnp.where(nmatch > 0, lcm // jnp.maximum(nmatch, 1), 0)
+    votes = []
+    for d in range(num_datasets):
+        in_d = ((qmask >> d) & 1) == 1
+        wd = jnp.where(in_d, weight, 0).reshape(r, l + 1)
+        votes.append(jnp.sum(wd, axis=1))
+    unmatched = jnp.sum(
+        jnp.where(valid & (nmatch == 0), 1, 0).reshape(r, l + 1), axis=1
+    )
+    n_kmers = jnp.sum(valid.reshape(r, l + 1), axis=1)
+    return jnp.stack(votes, axis=1), unmatched, n_kmers
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _read_votes_merge(group_cg, reads_flat, k, num_datasets, lcm):
+    """Merge-join read voting: ONE sort per k instead of per-query
+    binary search.
+
+    The searchsorted lookup costs ~27 gather rounds per query word
+    (~9 ns/element on TPU), which measured ~4.5 min per k at the
+    reference scale (100M read k-mers vs a 136M-element group table).
+    Here the group text's (canonical key, one-hot gid) elements and ALL
+    reads' canonical k-mer keys ride ONE unstable sort; per-run dataset
+    masks come from forward+backward segmented OR scans (run total =
+    fwd | bwd, so element order within ties is irrelevant); each query
+    element carries its flat read position as payload and a second small
+    sort by that payload returns the masks in read order — no gathers
+    anywhere.  Bit-identical votes to _read_votes (tested).
+
+    group_cg: pack_members output over per-dataset group texts;
+    reads_flat: uint8 codes of all reads flattened with separators.
+    Returns (qmask uint32 [len(reads_flat)], valid bool)."""
+    from ..engine.ksweep import _seg_or_scan
+
+    gcodes, ggids = group_cg
+    tkeys, tvalid = extract_canonical(gcodes, k)
+    qkeys, qvalid = extract_canonical(reads_flat, k)
+    # payloads: text -> gid (< D); query -> D + flat position
+    nq = reads_flat.shape[0]
+    # invalid text windows carry sentinel keys (their payload-0 bit can
+    # only reach the sentinel run, which valid queries never occupy)
+    tpay = jnp.where(tvalid, ggids, jnp.uint32(0))
+    qpay = jnp.uint32(num_datasets) + jnp.arange(nq, dtype=jnp.uint32)
+    w = len(tkeys)
+    keys = tuple(
+        jnp.concatenate([tw, qw]) for tw, qw in zip(tkeys, qkeys)
+    )
+    # invalid TEXT windows must not pollute runs: force their keys to the
+    # sentinel (invalid queries keep sentinel keys from extract already?
+    # extract_canonical sentinels invalid windows for both)
+    pay = jnp.concatenate([tpay, qpay])
+    ops = jax.lax.sort(list(keys) + [pay], num_keys=w, is_stable=False)
+    skeys, spay = tuple(ops[:w]), ops[w]
+    prev = tuple(jnp.roll(x, 1) for x in skeys)
+    key_new = (~words_eq(skeys, prev)).at[0].set(True)
+    is_text = spay < jnp.uint32(num_datasets)
+    m = jnp.where(is_text, jnp.uint32(1) << spay, jnp.uint32(0))
+    fwd = _seg_or_scan(m, key_new)
+    run_end = jnp.roll(key_new, -1).at[-1].set(True)
+    bwd = _seg_or_scan(m[::-1], run_end[::-1])[::-1]
+    total = fwd | bwd
+    total = jnp.where(words_is_sentinel(skeys), 0, total)
+    # return query masks in flat read order: sort (payload, mask); text
+    # entries (payload < D) land in the first n_text slots, queries
+    # follow in flat order
+    fq, fmask = jax.lax.sort(
+        [spay, total], num_keys=1, is_stable=False
+    )
+    qmask = fmask[tkeys[0].shape[0] :]
+    return qmask, qvalid
+
+
+def read_votes_bulk(group_codes: List[np.ndarray], reads_codes: np.ndarray,
+                    k: int, num_datasets: int):
+    """read_votes against the group texts directly (exp6 fast path).
+
+    reads_codes: [R, L] uint8 code matrix.  Returns (votes [R, D] int64,
+    unmatched [R], n_kmers [R]) — identical to read_votes over
+    build_group_mask_annotation, without any table lookups."""
+    from ..engine.occurrence import pack_members
+
+    codes, gids = pack_members(group_codes)
+    r, l = reads_codes.shape
+    flat = np.concatenate(
+        [reads_codes, np.full((r, 1), 4, reads_codes.dtype)], axis=1
+    ).reshape(-1)
+    qmask, qvalid = _read_votes_merge(
+        (jnp.asarray(codes), jnp.asarray(gids)), jnp.asarray(flat), k,
+        num_datasets, 0,
+    )
+    v, u, nk = _votes_from_masks(
+        qmask, qvalid, r, l, num_datasets, vote_lcm(num_datasets)
+    )
+    return (
+        np.asarray(v).astype(np.int64),
+        np.asarray(u).astype(np.int64),
+        np.asarray(nk).astype(np.int64),
+    )
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _votes_from_masks(qmask, valid, r, l, num_datasets, lcm):
+    qmask = jnp.where(valid, qmask, 0)
     nmatch = jax.lax.population_count(qmask)
     weight = jnp.where(nmatch > 0, lcm // jnp.maximum(nmatch, 1), 0)
     votes = []

@@ -19,11 +19,10 @@ import numpy as np
 from ..classify import (
     accuracy_values,
     read_level_confusion_row,
-    read_votes,
     write_accuracy_csv,
     write_confusion_matrix,
 )
-from ..classify.annotate import build_group_mask_annotation
+from ..classify.annotate import read_votes_bulk
 from ..engine.session import KmerEngine
 from ..io.packing import encode_records, encode_seq
 from .exp4 import glob_lexicographic
@@ -67,15 +66,16 @@ def run_exp6(
     ]
 
     for k in k_values:
-        # ONE canonical sort over all group texts serves every pivot's
-        # lookups at this k: read-level voting uses only the dataset mask
-        # (not pivot counts), so the global mask table replaces the
-        # per-dataset group tables + per-pivot annotation merges with
-        # identical votes (classify/annotate.build_group_mask_annotation)
-        ann = build_group_mask_annotation(group_codes, k)
+        # read-level voting uses only the dataset masks, and those come
+        # from ONE merge-join sort per (k, pivot) over [group texts +
+        # read k-mers] (classify/annotate.read_votes_bulk) — no
+        # per-query binary search (measured ~27 gather rounds/query,
+        # ~4.5 min per k at reference scale before this)
         cm, cm_ucol = [], []
         for num in nums:
-            votes, _unmatched, _nk = read_votes(ann, matrices[num])
+            votes, _unmatched, _nk = read_votes_bulk(
+                group_codes, matrices[num], k, d
+            )
             rng = np.random.default_rng([seed, trial, k, num])
             row = read_level_confusion_row(votes, d, rng)
             # regular and with-unidentified matrices take the SAME class

@@ -256,3 +256,30 @@ def test_pallas_buckets_mode_match_xla(rng):
     got_u = flat[:, D * D]
     np.testing.assert_array_equal(got_b, np.asarray(want_b))
     np.testing.assert_array_equal(got_u, np.asarray(want_u))
+
+
+def test_read_votes_bulk_matches_lookup(rng):
+    """Merge-join voting (read_votes_bulk) == binary-search voting over
+    the global mask table, bit for bit — incl. reads with Ns, unmatched
+    reads, and k spanning word widths."""
+    from khoice_tpu.classify.annotate import (
+        build_group_mask_annotation,
+        read_votes,
+        read_votes_bulk,
+    )
+    from khoice_tpu.pipelines.exp6 import reads_matrix
+
+    _, rest = _world(rng)
+    groups = [encode_records(g) for g in rest]
+    reads = (
+        [random_dna(rng, 60) for _ in range(6)]
+        + [rest[0][0][:60], "ACGTNN" + random_dna(rng, 50)]
+    )
+    mat = reads_matrix(reads)
+    for k in (7, 11, 16, 21, 33):
+        ann = build_group_mask_annotation(groups, k)
+        v1, u1, n1 = read_votes(ann, mat)
+        v2, u2, n2 = read_votes_bulk(groups, mat, k, len(groups))
+        np.testing.assert_array_equal(v2, v1, err_msg=f"k={k}")
+        np.testing.assert_array_equal(u2, u1, err_msg=f"k={k}")
+        np.testing.assert_array_equal(n2, n1, err_msg=f"k={k}")

@@ -268,24 +268,42 @@ def _read_votes_merge(group_cg, reads_flat, k, num_datasets, lcm):
     return qmask, qvalid
 
 
-def read_votes_bulk(group_codes: List[np.ndarray], reads_codes: np.ndarray,
-                    k: int, num_datasets: int):
-    """read_votes against the group texts directly (exp6 fast path).
-
-    reads_codes: [R, L] uint8 code matrix.  Returns (votes [R, D] int64,
-    unmatched [R], n_kmers [R]) — identical to read_votes over
-    build_group_mask_annotation, without any table lookups."""
+def pack_group_texts(group_codes: List[np.ndarray]):
+    """Pack + upload the per-dataset group texts ONCE for read_votes_bulk
+    (re-uploading ~170 MB per (k, pivot) over the dev tunnel dominated
+    realistic exp6 wall time)."""
     from ..engine.occurrence import pack_members
 
     codes, gids = pack_members(group_codes)
+    return jax.device_put(codes), jax.device_put(gids)
+
+
+def flat_reads_device(reads_codes: np.ndarray):
+    """Flatten a [R, L] read matrix with separators and upload once."""
     r, l = reads_codes.shape
     flat = np.concatenate(
         [reads_codes, np.full((r, 1), 4, reads_codes.dtype)], axis=1
     ).reshape(-1)
-    qmask, qvalid = _read_votes_merge(
-        (jnp.asarray(codes), jnp.asarray(gids)), jnp.asarray(flat), k,
-        num_datasets, 0,
-    )
+    return jax.device_put(flat), r, l
+
+
+def read_votes_bulk(group, reads_codes, k: int, num_datasets: int):
+    """read_votes against the group texts directly (exp6 fast path).
+
+    group: list of per-dataset code arrays OR a pre-packed device pair
+    from pack_group_texts; reads_codes: [R, L] uint8 matrix or a
+    (flat_device, r, l) triple from flat_reads_device.  Returns
+    (votes [R, D] int64, unmatched [R], n_kmers [R]) — identical to
+    read_votes over build_group_mask_annotation, without any lookups."""
+    if isinstance(group, tuple):
+        cg = group
+    else:
+        cg = pack_group_texts(group)
+    if isinstance(reads_codes, tuple):
+        flat, r, l = reads_codes
+    else:
+        flat, r, l = flat_reads_device(reads_codes)
+    qmask, qvalid = _read_votes_merge(cg, flat, k, num_datasets, 0)
     v, u, nk = _votes_from_masks(
         qmask, qvalid, r, l, num_datasets, vote_lcm(num_datasets)
     )

@@ -60,10 +60,15 @@ def run_exp6(
     label = READ_TYPE_LABEL.get(read_type, read_type)
     acc_dir = os.path.join(out_dir, f"accuracies_type_6/{read_type}")
 
-    matrices = {num: reads_matrix(pivot_reads[num]) for num in nums}
+    from ..classify.annotate import flat_reads_device, pack_group_texts
+
     group_codes = [
         encode_records([s for g in rest_of_set[num] for s in g]) for num in nums
     ]
+    packed_groups = pack_group_texts(group_codes)
+    flats = {
+        num: flat_reads_device(reads_matrix(pivot_reads[num])) for num in nums
+    }
 
     for k in k_values:
         # read-level voting uses only the dataset masks, and those come
@@ -74,7 +79,7 @@ def run_exp6(
         cm, cm_ucol = [], []
         for num in nums:
             votes, _unmatched, _nk = read_votes_bulk(
-                group_codes, matrices[num], k, d
+                packed_groups, flats[num], k, d
             )
             rng = np.random.default_rng([seed, trial, k, num])
             row = read_level_confusion_row(votes, d, rng)

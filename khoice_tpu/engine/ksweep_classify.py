@@ -25,9 +25,13 @@ SAME sorted run structure the sweep already builds:
   palindromic run's pivot multiplicity BEFORE saturation (a palindromic
   class's single run holds both strands' occurrences).
 
-The scans are XLA (associative_scan) rather than Pallas: the shared sort
-dominates device time and is amortized over the whole k grid, which is
-the 30x win these pipelines were missing.
+On TPU the scans run as modes of the multi-k Pallas kernel
+(kernels/ksweep_scan_pallas.py: pivot_rest / multi_pivot / containment /
+buckets) — no per-k device temporaries, whole grid per call chain; the
+XLA fallbacks here serve CPU tests and small inputs, chunked to
+SCAN_KS_PER_CALL ks per program because compiling the whole unrolled
+grid (or holding its 32-bit per-element temporaries) broke the TPU
+compiler and HBM at realistic scale.
 """
 
 from __future__ import annotations

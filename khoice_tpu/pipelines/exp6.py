@@ -54,7 +54,7 @@ def run_exp6(
     """pivot_reads: {num: [read strings]} (exp0 subset output);
     rest_of_set: {num: [genome,...]}. Returns the trial accuracy CSV path.
     """
-    eng = engine or KmerEngine()
+    del engine  # kept for signature compatibility; voting needs no engine
     nums = sorted(rest_of_set)
     d = len(nums)
     label = READ_TYPE_LABEL.get(read_type, read_type)

@@ -71,7 +71,71 @@ def main() -> int:
             bad += 1
             print(f"MISMATCH k={k}: {sweep[k][:10]} vs {want[:10]}")
     print("OK all 30 ks bit-identical" if bad == 0 else f"{bad} mismatches")
+
+    bad += _check_classify_modes(rng)
     return 1 if bad else 0
+
+
+def _check_classify_modes(rng) -> int:
+    """Mosaic-compiled classification scan modes vs the XLA scans on the
+    REAL device (the CPU suite pins interpret mode only).  Small ks-span
+    grid across word classes; member 0 doubles as pivot/query."""
+    import jax.numpy as jnp
+
+    from khoice_tpu.engine.ksweep import plan_sweep
+    from khoice_tpu.engine.ksweep_classify import (
+        _sorted_doubled_fn,
+        _sweep_class_containment,
+        _sweep_class_feature_buckets,
+        _sweep_class_multi_pivot,
+        _sweep_class_pivot_rest,
+    )
+    from khoice_tpu.engine.occurrence import pack_members
+
+    members = []
+    core = rng.integers(0, 4, size=60_000, dtype=np.uint8)
+    for m in range(4):
+        g = core.copy()
+        idx = rng.integers(0, g.shape[0], size=800 * (m + 1))
+        g[idx] = rng.integers(0, 4, size=idx.shape[0])
+        members.append(np.concatenate(
+            [g, rng.integers(0, 4, size=20_000, dtype=np.uint8)]
+        ))
+    ks = (8, 11, 16, 22, 31, 34, 49)
+    classes, rem = plan_sweep(ks, len(members))
+    assert not rem
+    codes, gids = pack_members(members)
+    kmax, KW, cks, packed = classes[0]
+    skeys, spay = _sorted_doubled_fn(
+        jnp.asarray(codes), jnp.asarray(gids), kmax, KW, packed
+    )
+    bad = 0
+    cases = [
+        ("pivot_rest", lambda up: _sweep_class_pivot_rest(
+            skeys, spay, cks, kmax, KW, 3, 5000, packed, up)),
+        ("multi_pivot", lambda up: _sweep_class_multi_pivot(
+            skeys, spay, cks, kmax, KW, 2, 5000, packed, up)),
+        ("containment", lambda up: _sweep_class_containment(
+            skeys, spay, cks, kmax, KW, 2, 2, 5000, packed, up)),
+        ("buckets", lambda up: _sweep_class_feature_buckets(
+            skeys, spay, cks, kmax, KW, 3, 5000, 7, packed, up)),
+    ]
+    for name, fn in cases:
+        got = fn(True)
+        want = fn(False)
+        if isinstance(got, tuple):
+            ok = all(
+                np.array_equal(np.asarray(g), np.asarray(w))
+                for g, w in zip(got, want)
+            )
+        else:
+            ok = np.array_equal(np.asarray(got), np.asarray(want))
+        if not ok:
+            bad += 1
+            print(f"MISMATCH classify mode {name} (Pallas vs XLA on device)")
+    print("OK classify modes device-identical" if bad == 0
+          else f"{bad} classify-mode mismatches")
+    return bad
 
 
 if __name__ == "__main__":

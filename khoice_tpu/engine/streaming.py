@@ -70,7 +70,11 @@ def _group_splits(G: int, kmin: int) -> np.ndarray:
     return lo.astype(np.uint32)
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10), donate_argnums=(2,))
+# NOTE: bufs are deliberately NOT donated: donate_argnums on this call
+# produced use-after-free segfaults on the CPU backend when the suite had
+# accumulated many live executables (observed twice at different tests);
+# the extra buffer copy per chunk is bandwidth-cheap next to the sort.
+@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9, 10))
 def _chunk_step(d_codes, member_starts, bufs, n, c, C, H, kmax, KW, cap, R, lo, hi):
     """Extract + sort one owned chunk of the doubled text and append each
     of R groups' in-range elements to its buffer at the chunk's slot.

@@ -88,6 +88,8 @@ def cmd_run(args) -> int:
         cfg.mesh_shards = args.mesh_shards
     if getattr(args, "trials", None):
         cfg.num_trials = args.trials
+    if getattr(args, "device_budget_gb", None):
+        cfg.device_budget_gb = args.device_budget_gb
 
     db = _load_datasets(cfg.database_root)
 
@@ -155,7 +157,11 @@ def _run_one(cfg: KhoiceConfig, args, db, exp0_root: str) -> int:
             ],
             fn=lambda: run_exp1(groups, cfg.k_values, cfg.work_root,
                                 union_cs=cfg.union_cs, count_cs=cfg.count_cs,
-                                hist_cx=cfg.hist_cx, mesh=mesh),
+                                hist_cx=cfg.hist_cx, mesh=mesh,
+                                device_budget_bytes=(
+                                    int(cfg.device_budget_gb * 2**30)
+                                    if cfg.device_budget_gb else None
+                                )),
         )])
     elif et in (2, 3, 4, 5, 6, 7, 8):
         exp0 = _ensure_exp0(cfg, db, exp0_root)
@@ -325,6 +331,10 @@ def main(argv=None) -> int:
     run_p.add_argument("--kmers-per-dataset", type=int, default=None)
     run_p.add_argument("--mesh-shards", type=int, default=None,
                        help="devices along the k-mer key-range mesh axis")
+    run_p.add_argument("--device-budget-gb", type=float, default=None,
+                       help="device memory budget for the exp1 sweep "
+                            "(default: auto from the accelerator; groups "
+                            "beyond it stream with bounded memory)")
     run_p.add_argument("--trials", type=int, default=None,
                        help="fan the experiment over trials 1..N (reference NUM_TRIALS)")
     run_p.add_argument("--force", action="store_true", help="ignore satisfied outputs")

@@ -53,6 +53,10 @@ class KhoiceConfig:
     seed: int = 0                # seeded randomness (pivot choice, tie-breaks)
     mesh_shards: int = 1         # devices along the k-mer key-range axis
     read_sim_seed: int = 0
+    # device memory budget in GiB for the exp1 sweep (0 = auto-detect from
+    # the accelerator); groups beyond it stream with bounded memory, the
+    # `kmc -m64` role (engine/streaming.py)
+    device_budget_gb: float = 0.0
 
     @staticmethod
     def from_yaml(path: str) -> "KhoiceConfig":

@@ -390,6 +390,11 @@ def pivot_rest_counts_sweep(
 ) -> Tuple[Dict[int, np.ndarray], List[int]]:
     """{k: (n_rest+1,) counts} for member 0 = pivot vs the rest members."""
     n_rest = len(member_codes) - 1
+    # The sweep's intersection counts are exact (uncapped): with <= 32
+    # members every count is <= n_members, so KMC's `-cs` union cap is
+    # unreachable as long as cs >= n_members.  Assert rather than
+    # silently diverging from the per-k fallback's capped semantics.
+    assert cs >= len(member_codes), "sweep ignores cs below the member count"
     return _run_classes(
         member_codes,
         ks,
@@ -405,6 +410,7 @@ def multi_pivot_counts_sweep(
     member_codes: Sequence[np.ndarray], D: int, ks: Sequence[int], cs: int = 5000
 ) -> Tuple[Dict[int, np.ndarray], List[int]]:
     """{k: (D, D) counts}: members 0..D-1 pivots, D..2D-1 group sets."""
+    assert cs >= len(member_codes), "sweep ignores cs below the member count"
     return _run_classes(
         member_codes,
         ks,
@@ -421,6 +427,7 @@ def containment_counts_sweep(
     cs: int = 5000
 ) -> Tuple[Dict[int, np.ndarray], List[int]]:
     """{k: (nq, ng+1) counts}: members 0..nq-1 query sets, then ng groups."""
+    assert cs >= len(member_codes), "sweep ignores cs below the member count"
     return _run_classes(
         member_codes,
         ks,
@@ -440,6 +447,7 @@ def feature_buckets_sweep(
     from .occurrence import pack_members
 
     n_members = len(member_codes)
+    assert cs >= n_members, "sweep ignores cs below the member count"
     classes, remaining = plan_sweep(ks, n_members)
     out: Dict[int, tuple] = {}
     if classes:

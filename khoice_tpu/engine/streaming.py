@@ -59,6 +59,44 @@ _SENT_LAST_PACKED = np.uint32(
 )
 
 
+def default_device_budget_bytes() -> int:
+    """The automatic device memory budget for sweep dispatch.
+
+    KMC is handed a fixed budget and bounds itself (`kmc -m64`,
+    reference workflow/rules/exp_type_1.smk:163); the chip equivalent is
+    ~85% of the accelerator's reported bytes_limit (the rest covers the
+    resident codes, XLA's allocator slack and the output buffers).
+    Backends that report no limit (CPU tests) get KMC's own 64 GB."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > 0:
+            return int(limit * 0.85)
+    except Exception:
+        pass
+    return 64 << 30
+
+
+def incore_sweep_bytes(
+    total_positions: int, ks: Sequence[int], n_members: int
+) -> int:
+    """Estimated peak device bytes of the IN-CORE shared-sort sweep over a
+    group whose packed text (members + separators) spans `total_positions`.
+
+    The peak is the master-class sort: doubled text of n2 = 2*total
+    elements x 4 bytes x `words` sorted operands, live twice (lax.sort
+    input + output).  Used by run_exp1 to dispatch groups beyond the
+    device budget to the streaming path automatically — the user never
+    chooses, exactly as with KMC's -m64."""
+    classes, _rem = plan_sweep(ks, n_members)
+    n2 = 2 * total_positions
+    worst = 0
+    for kmax, KW, _cks, packed in classes:
+        words = KW if packed else KW + 1
+        worst = max(worst, n2 * 4 * words * 2)
+    return worst
+
+
 def _group_splits(G: int, kmin: int) -> np.ndarray:
     """G+1 ascending top-word split values aligned to 2*kmin-bit prefixes
     (alignment caps the usable granularity at 4^kmin prefixes)."""
@@ -81,8 +119,9 @@ def _chunk_step(d_codes, member_starts, bufs, n, c, C, H, kmax, KW, cap, R, lo, 
 
     d_codes: resident uint8 doubled codes [n2 + Cpad + H];
     member_starts: int32 member start offsets (for gid rebuild);
-    bufs: (R, n_chunks*cap) per key word, donated; lo/hi: (R,) inclusive
-    w0 ranges.  Returns (bufs, per-group in-range counts (R,))."""
+    bufs: (R, n_chunks*cap) per key word (NOT donated — see NOTE above);
+    lo/hi: (R,) inclusive w0 ranges.  Returns (bufs, per-group in-range
+    counts (R,))."""
     from .fastsort import fast_sort, sentinel_encode_packed
 
     start = c * C
@@ -236,48 +275,64 @@ def occurrence_histograms_sweep_streaming(
         sj = jax.device_put(jnp.asarray(starts))
         use_pallas = compute_on_tpu()
 
-        while True:
-            dp = np.zeros((2, len(cks), n_members), np.int64)
-            overflow = False
-            for g0 in range(0, G, R):
-                r_here = min(R, G - g0)
-                lo = jnp.asarray(splits[g0 : g0 + r_here])
-                hi_np = splits[g0 + 1 : g0 + r_here + 1].astype(np.int64) - 1
-                hi_np[-1] = 0xFFFFFFFF if g0 + r_here == G else hi_np[-1]
+        # Overflow recovery is CONTAINED: a key-range group whose buffer
+        # cap overflows (key-space skew, e.g. long poly-A) is re-queued
+        # alone with a doubled cap; groups that finished keep their
+        # accumulated raw scans and are never re-extracted or re-sorted.
+        dp = np.zeros((2, len(cks), n_members), np.int64)
+        todo = list(range(G))
+        round_cap = cap
+        while todo:
+            overflowed: List[int] = []
+            for i0 in range(0, len(todo), R):
+                batch = todo[i0 : i0 + R]
+                r_here = len(batch)
+                lo = jnp.asarray(splits[np.asarray(batch)])
+                hi_np = np.array(
+                    [
+                        0xFFFFFFFF if g == G - 1 else int(splits[g + 1]) - 1
+                        for g in batch
+                    ],
+                    np.int64,
+                )
                 hi = jnp.asarray(hi_np.astype(np.uint32))
                 bufs = tuple(
                     jnp.full(
-                        (n_chunks * cap,),
+                        (n_chunks * round_cap,),
                         _SENT_LAST_PACKED if (i % KW) == KW - 1 else np.uint32(0xFFFFFFFF),
                         jnp.uint32,
                     )
                     for i in range(r_here * KW)
                 )
+                over = np.zeros(r_here, bool)
                 for c in range(n_chunks):
                     bufs, counts = _chunk_step(
                         dj, sj, bufs, jnp.int32(n), jnp.int32(c), C, H, kmax,
-                        KW, cap, r_here, lo, hi,
+                        KW, round_cap, r_here, lo, hi,
                     )
-                    if int(np.max(np.asarray(counts))) > cap:
-                        overflow = True
-                        break
-                if overflow:
-                    break
+                    over |= np.asarray(counts) > round_cap
+                    if over.all():
+                        break  # every group in the batch must retry anyway
                 for r in range(r_here):
+                    if over[r]:
+                        continue
                     raw = _group_scan(
                         tuple(bufs[r * KW : (r + 1) * KW]),
                         cks, kmax, KW, n_members, cs, use_pallas,
                     )
                     dp += np.asarray(raw)
-            if not overflow:
-                break
-            cap *= 2
-            while (n_chunks * cap) % TILE:
-                cap += 1
-            log.warning(
-                "streaming class kmax=%d: group cap overflow, doubling to %d "
-                "(skewed key space at kmin=%d granularity)", kmax, cap, kmin
-            )
+                overflowed.extend(batch[r] for r in range(r_here) if over[r])
+            todo = overflowed
+            if todo:
+                round_cap *= 2
+                while (n_chunks * round_cap) % TILE:
+                    round_cap += 1
+                log.warning(
+                    "streaming class kmax=%d: %d/%d key-range groups "
+                    "overflowed their cap (skewed key space at kmin=%d "
+                    "granularity); retrying ONLY those with cap %d",
+                    kmax, len(todo), G, kmin, round_cap,
+                )
 
         m = min(n_members, cx)
         for i, k in enumerate(cks):
@@ -285,8 +340,17 @@ def occurrence_histograms_sweep_streaming(
             h[:m] = ((dp[0, i, :m] + dp[1, i, :m]) // 2).tolist()
             out[k] = h
 
-    for k in remaining:
+    if remaining:
+        # Leftover ks (classes with <3 ks never pack; empty for any real
+        # grid) ride the per-k fused path.  That path materializes the
+        # full undoubled element array on device (~4*KW B/position), so
+        # it is NOT bounded by device_budget_bytes — acceptable because
+        # the undoubled single-k footprint is ~half the in-core sweep's
+        # and leftovers are rare; pack/upload once for all leftover ks.
         codes, gids = pack_members(member_codes)
         packed_arrs = (jax.device_put(codes), jax.device_put(gids))
-        out[k] = occurrence_histogram_packed(packed_arrs, n_members, k, cs=cs, cx=cx)
+        for k in remaining:
+            out[k] = occurrence_histogram_packed(
+                packed_arrs, n_members, k, cs=cs, cx=cx
+            )
     return out

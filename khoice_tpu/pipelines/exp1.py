@@ -57,6 +57,7 @@ def run_exp1(
     write_hists: bool = True,
     fused: bool = True,
     mesh=None,
+    device_budget_bytes: int | None = None,
 ) -> Dict[str, str]:
     """groups: {group_num: [genome as list-of-record-seqs, ...]}.
 
@@ -66,6 +67,12 @@ def run_exp1(
     kmc_tools-shaped table ops for cross-validation). Passing a
     jax.sharding.Mesh runs the fused path SPMD over its "kv" axis
     (dist/occurrence.py).
+
+    A group whose in-core sweep footprint exceeds `device_budget_bytes`
+    (default: engine/streaming.default_device_budget_bytes — ~85% of the
+    accelerator's HBM) is dispatched to the bounded-memory streaming
+    sweep automatically, the way `kmc -m64` bounds itself without the
+    user choosing (reference exp_type_1.smk:163).
 
     Returns {"step_5": csv_path, "step_9": csv_path}.
     """
@@ -112,28 +119,50 @@ def run_exp1(
         else:
             from ..engine.ksweep import occurrence_histograms_sweep_packed
             from ..engine.occurrence import pack_members_device
+            from ..engine import streaming
+            from ..utils.logging import get_logger
+
+            log = get_logger("khoice.exp1")
+            budget = device_budget_bytes or streaming.default_device_budget_bytes()
+            ks_list = [int(k) for k in k_values]
+
+            def sweep_members(member_codes, label):
+                """In-core shared-sort sweep, or the bounded-memory
+                streaming sweep when the group exceeds the device budget
+                (bit-identical results; engine/streaming.py)."""
+                total = sum(int(c.shape[0]) + 1 for c in member_codes)
+                need = streaming.incore_sweep_bytes(
+                    total, ks_list, len(member_codes)
+                )
+                if need > budget:
+                    log.info(
+                        "%s: in-core sweep ~%.1f GiB exceeds device budget "
+                        "%.1f GiB — streaming (bounded memory)",
+                        label, need / 2**30, budget / 2**30,
+                    )
+                    return streaming.occurrence_histograms_sweep_streaming(
+                        member_codes, ks_list, cs=union_cs, cx=hist_cx,
+                        device_budget_bytes=budget,
+                    )
+                packed = pack_members_device(member_codes)
+                return occurrence_histograms_sweep_packed(
+                    packed, len(member_codes), ks_list, cs=union_cs, cx=hist_cx
+                )
 
             # pack + upload each group once (2-bit packed transfer, gids
             # rebuilt on device), then compute the WHOLE k sweep per group
             # with the shared-sort engine (one sort per key-word class
             # instead of per k; engine/ksweep.py)
-            ks_list = [int(k) for k in k_values]
             within_all = {}
             for num in group_nums:
-                packed = pack_members_device(codes[num])
-                within_all[num] = occurrence_histograms_sweep_packed(
-                    packed, len(codes[num]), ks_list, cs=union_cs, cx=hist_cx
-                )
+                within_all[num] = sweep_members(codes[num], f"group {num}")
             group_concat = [
                 np.concatenate(
                     [np.concatenate([c, np.full(1, 4, np.uint8)]) for c in codes[num]]
                 )
                 for num in group_nums
             ]
-            packed_across = pack_members_device(group_concat)
-            across_all = occurrence_histograms_sweep_packed(
-                packed_across, len(group_nums), ks_list, cs=union_cs, cx=hist_cx
-            )
+            across_all = sweep_members(group_concat, "across-groups")
 
             within_hist = {
                 num: lambda k, num=num: within_all[num][int(k)]

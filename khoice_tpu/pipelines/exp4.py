@@ -89,24 +89,26 @@ def run_exp4(
     group_codes = [
         encode_records([s for g in rest_of_set[num] for s in g]) for num in nums
     ]
+    # The sweep's device-memory fallback (_xla_scan_too_big) is data-dependent
+    # on each pivot's size (n2 includes the pivot text), so one pivot can fall
+    # back for a k that another pivot swept fine: the fallback decision must be
+    # per (num, k), not a global k set.
     swept: Dict[int, dict] = {}
-    fallback_ks = set(k_values)
     for num in nums:
-        bk, rem = feature_buckets_sweep(
+        bk, _rem = feature_buckets_sweep(
             [pivot_codes[num]] + group_codes, d, k_values, cap=count_cs,
             cs=union_cs,
         )
         swept[num] = bk
-        fallback_ks = set(rem)
 
     for k in k_values:
-        if k not in fallback_ks:
+        if all(k in swept[num] for num in nums):
             group_sets = None
         else:
             group_sets = build_group_sets(eng, rest_of_set, k, union_cs, count_cs)
         cm, cm_ucol = [], []
         for num in nums:
-            if k not in fallback_ks:
+            if k in swept[num]:
                 buckets, unique = swept[num][k]
             else:
                 pivot_table = eng.count_codes(pivot_codes[num], k, cs=count_cs)

@@ -92,6 +92,33 @@ def test_exp1_golden(rng, tmp_path, fused):
     assert lines[0].strip() == STEP5_HEADER.strip()
 
 
+def test_exp1_streaming_dispatch_on_budget(rng, tmp_path, monkeypatch):
+    """run_exp1 dispatches groups beyond the device budget to the
+    bounded-memory streaming sweep automatically (the `kmc -m64` role,
+    VERDICT r4 #3) — same CSV bytes, streaming path actually taken."""
+    from khoice_tpu.engine import streaming as st
+
+    calls = []
+    real = st.occurrence_histograms_sweep_streaming
+
+    def spy(*args, **kwargs):
+        calls.append(1)
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(st, "occurrence_histograms_sweep_streaming", spy)
+
+    groups = make_groups(rng, n_groups=2, genomes_per_group=2, glen=300)
+    ks = [5, 9, 12]
+    big = run_exp1(groups, ks, str(tmp_path / "incore"), fused=True,
+                   device_budget_bytes=1 << 40)
+    assert not calls, "in-core budget must not stream"
+    small = run_exp1(groups, ks, str(tmp_path / "stream"), fused=True,
+                     device_budget_bytes=1 << 14)
+    assert calls, "tiny budget must dispatch to the streaming sweep"
+    for key in ("step_5", "step_9"):
+        assert open(small[key], "rb").read() == open(big[key], "rb").read()
+
+
 def test_exp1_golden_all_key_widths(rng, tmp_path):
     """Byte-exact step_5/step_9 across EVERY key-width class: 1-word
     (k<=15), 2-word packed (k<=31), 3-word (k<=47) and 4-word (k=49)

@@ -72,6 +72,50 @@ def test_streaming_overflow_retry(rng):
         assert got[k] == want[k], f"k={k}"
 
 
+def test_streaming_overflow_retry_is_contained(rng, monkeypatch):
+    """Only overflowed key-range groups are retried: finished groups keep
+    their scans (scanned exactly once) and every retry batch carries
+    fewer groups than the full partition."""
+    from khoice_tpu.engine import streaming as st
+
+    members = [
+        encode_records(["A" * 4000 + random_dna(rng, 800)]),
+        encode_records(["A" * 3500 + random_dna(rng, 900)]),
+        encode_records([random_dna(rng, 4000)]),
+    ]
+    ks = [9, 13, 21]
+    G = 4
+
+    batch_sizes = []  # r_here of every _chunk_step call
+    scans = 0
+    real_chunk, real_scan = st._chunk_step, st._group_scan
+
+    def chunk_spy(*args):
+        batch_sizes.append(args[10])  # R (static batch width)
+        return real_chunk(*args)
+
+    def scan_spy(*args):
+        nonlocal scans
+        scans += 1
+        return real_scan(*args)
+
+    monkeypatch.setattr(st, "_chunk_step", chunk_spy)
+    monkeypatch.setattr(st, "_group_scan", scan_spy)
+
+    want = occurrence_histograms_sweep(members, ks, cx=8)
+    got = st.occurrence_histograms_sweep_streaming(
+        members, ks, cx=8, chunk_elems=16384, n_groups=G, pass_groups=G,
+    )
+    for k in ks:
+        assert got[k] == want[k], f"k={k}"
+    # the poly-A skew must actually trigger a retry round...
+    assert len(set(batch_sizes)) > 1, "expected an overflow retry round"
+    # ...and retry rounds carry strictly fewer groups than the partition
+    assert all(b < G for b in batch_sizes if b != G)
+    # each key-range group is scanned exactly once across all rounds
+    assert scans == G
+
+
 def test_streaming_auto_knobs(rng):
     """Default knob derivation from a small budget must still be exact."""
     members = _members(rng)[:3]

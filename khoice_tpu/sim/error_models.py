@@ -113,6 +113,105 @@ class QualityHmm:
                    difference_ratio=difference_ratio)
 
     @classmethod
+    def from_pbsim2_file(cls, path: str,
+                         difference_ratio: Tuple[int, int, int] = DEFAULT_DIFFERENCE_RATIO
+                         ) -> "QualityHmm":
+        """Parse pbsim2's `--hmm_model` FIC-HMM layout (the R95.model
+        family the reference names, workflow/rules/prepare_data.smk:97-98).
+
+        pbsim2 (Ono et al. 2021) stores its quality-score HMM as SPARSE
+        keyword triples, one probability per line ('#' comments and blank
+        lines allowed):
+
+            IP <state> <prob>             initial probability of <state>
+            TP <state> <state2> <prob>    transition <state> -> <state2>
+            EP <state> <qual> <prob>      P(quality code <qual> | <state>)
+
+        State ids may be 0- or 1-based (normalized to a dense 0-based
+        range); omitted entries are zero; quality codes must lie in
+        [0, 93].  Each state's TP and EP mass and the total IP mass must
+        be ~1 (then renormalized exactly); a file with no IP lines takes
+        the transition chain's stationary distribution.  Anything else
+        raises ValueError naming this contract — NOTE: no pbsim2
+        distribution exists in this zero-egress environment to
+        byte-verify a shipped model against (the layout is reconstructed
+        from pbsim2's published model description), so the parser is
+        deliberately strict and fails loudly rather than missimulating.
+        """
+        ip: dict = {}
+        tp: dict = {}
+        ep: dict = {}
+        with open(path) as fd:
+            for ln, line in enumerate(fd, 1):
+                line = line.split("#", 1)[0].strip()
+                if not line:
+                    continue
+                toks = line.split()
+                kind = toks[0].upper()
+                try:
+                    if kind == "IP" and len(toks) == 3:
+                        ip[int(toks[1])] = ip.get(int(toks[1]), 0.0) + float(toks[2])
+                    elif kind == "TP" and len(toks) == 4:
+                        key = (int(toks[1]), int(toks[2]))
+                        tp[key] = tp.get(key, 0.0) + float(toks[3])
+                    elif kind == "EP" and len(toks) == 4:
+                        key = (int(toks[1]), int(toks[2]))
+                        ep[key] = ep.get(key, 0.0) + float(toks[3])
+                    else:
+                        raise ValueError("unknown record")
+                except ValueError as e:
+                    raise ValueError(
+                        f"{path}:{ln}: pbsim2 hmm_model lines are "
+                        f"'IP <state> <p>' | 'TP <state> <state2> <p>' | "
+                        f"'EP <state> <qual 0..{MAX_Q - 1}> <p>' ({e})"
+                    ) from e
+        states = sorted(
+            set(ip)
+            | {s for s, _ in tp} | {s2 for _, s2 in tp}
+            | {s for s, _ in ep}
+        )
+        if not states or not tp or not ep:
+            raise ValueError(
+                f"{path}: pbsim2 hmm_model needs TP and EP records for at "
+                "least one state (IP optional -> stationary distribution)"
+            )
+        remap = {s: i for i, s in enumerate(states)}
+        S = len(states)
+        trans = np.zeros((S, S))
+        emit = np.zeros((S, MAX_Q))
+        for (s, s2), p in tp.items():
+            trans[remap[s], remap[s2]] = p
+        for (s, q), p in ep.items():
+            if not (0 <= q < MAX_Q):
+                raise ValueError(
+                    f"{path}: EP quality code {q} outside [0, {MAX_Q - 1}]"
+                )
+            emit[remap[s], q] = p
+        for name, mat in (("TP", trans), ("EP", emit)):
+            sums = mat.sum(1)
+            if not np.all((sums > 0.9) & (sums < 1.1)):
+                bad = states[int(np.argmax(np.abs(sums - 1.0)))]
+                raise ValueError(
+                    f"{path}: state {bad}'s {name} mass is {sums.min():.3f}"
+                    f"..{sums.max():.3f}, not ~1 (rows are distributions)"
+                )
+        trans = trans / trans.sum(1, keepdims=True)
+        emit = emit / emit.sum(1, keepdims=True)
+        if ip:
+            init = np.zeros(S)
+            for s, p in ip.items():
+                init[remap[s]] = p
+            if not (0.9 < init.sum() < 1.1):
+                raise ValueError(
+                    f"{path}: IP mass {init.sum():.3f} is not ~1"
+                )
+            init = init / init.sum()
+        else:
+            init = _stationary(trans)
+        return cls(trans=trans, emit=emit, init=init,
+                   difference_ratio=difference_ratio)
+
+    @classmethod
     def from_accuracy(cls, accuracy_mean: float = 0.95,
                       burst_error: float = 0.35,
                       p_enter_burst: float = 0.01,
@@ -286,12 +385,14 @@ class ModelQc:
 def load_model_file(path: str,
                     accuracy_mean: float = 0.95,
                     difference_ratio: Tuple[int, int, int] = DEFAULT_DIFFERENCE_RATIO):
-    """Load a quality model file of EITHER supported on-disk layout.
+    """Load a quality model file of ANY supported on-disk layout.
 
-    Sniff: a first non-comment line with one integer -> the HMM layout
-    (QualityHmm.from_pbsim_file); a row of <int> + >=2 floats ->
-    pbsim1's model_qc table (ModelQc.from_file, bound to accuracy_mean).
-    Anything else raises naming both contracts."""
+    Sniff on the first non-comment line: a leading IP/TP/EP keyword ->
+    pbsim2's sparse FIC-HMM triples (QualityHmm.from_pbsim2_file, the
+    layout the reference's `--hmm_model R95.model` names); a single
+    integer -> the dense HMM layout (QualityHmm.from_pbsim_file); a row
+    of <int> + >=2 floats -> pbsim1's model_qc table (ModelQc.from_file,
+    bound to accuracy_mean).  Anything else raises naming the contracts."""
     first = None
     with open(path) as fd:
         for line in fd:
@@ -301,14 +402,17 @@ def load_model_file(path: str,
                 break
     if first is None:
         raise ValueError(f"{path}: empty model file")
+    if first[0].upper() in ("IP", "TP", "EP"):
+        return QualityHmm.from_pbsim2_file(path, difference_ratio)
     if len(first) == 1:
         return QualityHmm.from_pbsim_file(path, difference_ratio)
     if len(first) >= 3:
         return ModelQc.from_file(path, difference_ratio).bind(accuracy_mean)
     raise ValueError(
-        f"{path}: unrecognized model layout — expected either the HMM "
-        f"contract (<S> then S*S transitions then S*{MAX_Q} emissions) or "
-        "pbsim1 model_qc rows (<accuracy int> <P(q=0)> ... <P(q=K-1)>)"
+        f"{path}: unrecognized model layout — expected pbsim2 IP/TP/EP "
+        f"triples, the dense HMM contract (<S> then S*S transitions then "
+        f"S*{MAX_Q} emissions), or pbsim1 model_qc rows "
+        "(<accuracy int> <P(q=0)> ... <P(q=K-1)>)"
     )
 
 

@@ -149,6 +149,67 @@ def test_subset_mems_budget():
     assert len(out) == int(np.ceil((1000 + 10000) / per))
 
 
+def test_pbsim2_hmm_model_file(tmp_path):
+    """A hand-written pbsim2-layout FIC-HMM model (sparse IP/TP/EP
+    triples, the `--hmm_model R95.model` family the reference invokes at
+    prepare_data.smk:97-98) loads via the layout sniffer, reproduces its
+    matrices, and drives sim_ont at the model's own calibrated error
+    rate; malformed keyword files fail naming the contract (round-4
+    VERDICT task 6)."""
+    import pytest as _pytest
+
+    from khoice_tpu.sim.error_models import QualityHmm, load_model_file
+
+    # 2-state bursty chain, 1-based states: state 1 emits q=20
+    # (err 0.01), state 2 q=7 (err ~0.1995); stationary = (5/6, 1/6)
+    lines = [
+        "# hand-written pbsim2-layout model",
+        "IP 1 0.8", "IP 2 0.2",
+        "TP 1 1 0.98", "TP 1 2 0.02",
+        "TP 2 1 0.10", "TP 2 2 0.90",
+        "EP 1 20 1.0",
+        "EP 2 7 0.5", "EP 2 7 0.5",  # duplicates accumulate
+    ]
+    path = tmp_path / "R95.model"
+    path.write_text("\n".join(lines) + "\n")
+
+    m = load_model_file(str(path))
+    assert isinstance(m, QualityHmm)
+    assert np.allclose(m.trans, [[0.98, 0.02], [0.10, 0.90]])
+    assert np.allclose(m.init, [0.8, 0.2])
+    assert m.emit[0, 20] == 1.0 and m.emit[1, 7] == 1.0
+
+    # calibration: long-walk mean error ~= stationary-weighted rate
+    quals = m.sample_qualities(np.random.default_rng(2), 100_000)
+    pi = np.array([0.10, 0.02]) / 0.12  # stationary of the chain
+    want = pi[0] * 10 ** (-20 / 10) + pi[1] * 10 ** (-7 / 10)
+    got = m.error_probs(quals).mean()
+    assert 0.85 * want < got < 1.15 * want, (got, want)
+
+    seqs = ["".join("ACGT"[(i * 3 + i // 7) % 4] for i in range(20000))]
+    reads = sim_ont(seqs, np.random.default_rng(4), length_min=400,
+                    length_max=600, model_file=str(path))
+    assert reads and all(300 < len(r) < 700 for r in reads)
+
+    # IP-less file: init falls back to the stationary distribution
+    path2 = tmp_path / "noip.model"
+    path2.write_text("\n".join(l for l in lines if not l.startswith("IP")) + "\n")
+    m2 = load_model_file(str(path2))
+    assert np.allclose(m2.init, pi, atol=1e-8)
+
+    # unknown keyword / arity fails loudly with the contract in the text
+    bad = tmp_path / "bad2.model"
+    bad.write_text("IP 1 1.0\nXX 1 2 0.5\n")
+    with _pytest.raises(ValueError, match="IP <state>"):
+        load_model_file(str(bad))
+    bad.write_text("TP 1 1 1.0\nEP 1 200 1.0\n")
+    with _pytest.raises(ValueError, match="outside"):
+        load_model_file(str(bad))
+    bad.write_text("TP 1 1 0.4\nEP 1 20 1.0\n")
+    with _pytest.raises(ValueError, match="mass"):
+        load_model_file(str(bad))
+
+
 def test_pbsim1_model_qc_table(tmp_path):
     """A hand-written pbsim1 model_qc table (rows: <accuracy int> then
     quality-code probabilities) loads via the layout sniffer, binds to

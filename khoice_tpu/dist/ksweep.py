@@ -38,6 +38,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..engine.bits import SENTINEL, searchsorted_words, words_eq
 from .sharded import rank_positions
 from ..engine.ksweep import (
+    MASK_MEMBERS_XLA,
     PACK_GID_BITS,
     PACK_NIO_BITS,
     _extract_fwd_sweep,
@@ -224,7 +225,7 @@ def run_sweep_plan(
     codes, gids = pack_members(member_codes)
     n = codes.shape[0]
     n_members = len(member_codes)
-    classes, remaining = plan_sweep(ks, n_members)
+    classes, remaining = plan_sweep(ks, n_members, MASK_MEMBERS_XLA)
     out: Dict[int, List[int]] = {}
     for kmax, KW, cks, packed in classes:
         chunk = max(1, math.ceil(n / d))

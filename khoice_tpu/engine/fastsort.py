@@ -109,10 +109,11 @@ def sentinel_encode_packed(fwd: tuple, KW: int, nio_bits: int, gid_bits: int):
     sentinel: all-ones key words, ZERO payload bits in the last word.
 
     The sentinel sorts strictly after EVERY real element: the last word's
-    spare-above-payload bits (>= 1 of them, since packing requires
-    spare >= 12 > the 11 payload bits) are ones in the sentinel but zero
-    in every real element.  The occurrence scans are unaffected (the
-    sentinel's nio bits stay 0).  Returns (encoded, invalid_mask)."""
+    spare-above-payload bits (>= 2 of them, since packing requires
+    spare >= PACK_MIN_SPARE = 14 > the 12 payload bits) are ones in the
+    sentinel but zero in every real element.  The occurrence scans are
+    unaffected (the sentinel's nio bits stay 0).  Returns
+    (encoded, invalid_mask)."""
     pay_mask = jnp.uint32((1 << (nio_bits + gid_bits)) - 1)
     invalid = (fwd[-1] & jnp.uint32((1 << nio_bits) - 1)) == 0
     out = []

@@ -54,15 +54,26 @@ NIO_BITS = 8
 # payload, the sort drops the separate payload operand entirely — for the
 # reference's full k grid (kmax=49, KW=4, 30 spare bits) ONE 4-operand
 # doubled-text sort serves all 30 ks, vs 3-operand (k<=30) + 4-operand
-# (33<k<=46) + per-k (k=49) sorts before.  gid rides in 5 bits (the mask
-# scan requires n_members <= 32 anyway) and nio in 6 (kmax <= 63).  The
-# payload must stay clear of every per-k comparison: _key_new_mask reads
-# bits >= spare, and in _rev2comp_words the payload's low 2-bit groups land
-# in the top bits of rev, above the 2k bits _pal_mask inspects — hence the
-# spare >= PACK_MIN_SPARE (group-aligned 12) requirement.
-PACK_GID_BITS = 5
+# (33<k<=46) + per-k (k=49) sorts before.  gid rides in 6 bits (the
+# two-channel uint32 mask scan covers n_members <= MASK_MEMBERS_XLA = 64)
+# and nio in 6 (kmax <= 63).  The payload must stay clear of every per-k
+# comparison: _key_new_mask reads bits >= spare, and in _rev2comp_words
+# the payload's low 2-bit groups land in the top bits of rev, above the
+# 2k bits _pal_mask inspects; the sentinel encoding additionally needs
+# >= 1 spare bit ABOVE the 12 payload bits that is one in the sentinel
+# and zero in every real element (fastsort.sentinel_encode_packed) —
+# hence spare >= PACK_MIN_SPARE = 14 (group-aligned payload + 2 guard
+# bits).
+PACK_GID_BITS = 6
 PACK_NIO_BITS = 6
-PACK_MIN_SPARE = 12
+PACK_MIN_SPARE = 14
+
+# The multi-k scan's member-presence masks: the XLA scan runs one uint32
+# one-hot OR-scan channel per 32 members (two channels at <= 64 — beyond
+# that the extra scan volume and the 6-bit packed gid field stop paying);
+# the Pallas kernel keeps the single-channel <= 32 fast path.
+MASK_MEMBERS_XLA = 64
+MASK_MEMBERS_PALLAS = 32
 
 
 def _pack_spare(kmax: int, KW: int) -> int:
@@ -310,15 +321,27 @@ def _scan_multi_k_xla(
         gid = (spayload >> NIO_BITS) & jnp.uint32(0xFF)
         nio = spayload & jnp.uint32((1 << NIO_BITS) - 1)
     rev = _rev2comp_words(skeys)
+    # one uint32 one-hot channel per 32 members: each channel carries its
+    # own segmented OR scan and the popcounts add (a member lives in
+    # exactly one channel) — removes the former 32-member sweep cliff
+    n_ch = max(1, (n_members + 31) // 32)
     hists_d, hists_p = [], []
     for k in ks:
         key_new = _key_new_mask(skeys, prev, k, KW).at[0].set(True)
-        m = jnp.where(nio >= k, jnp.uint32(1) << gid, jnp.uint32(0))
-        or_scan = _seg_or_scan(m, key_new)
+        bsum = None
+        for c in range(n_ch):
+            if n_ch == 1:
+                m = jnp.where(nio >= k, jnp.uint32(1) << gid, jnp.uint32(0))
+            else:
+                m = jnp.where(
+                    (nio >= k) & ((gid >> 5) == c),
+                    jnp.uint32(1) << (gid & jnp.uint32(31)),
+                    jnp.uint32(0),
+                )
+            pc = jax.lax.population_count(_seg_or_scan(m, key_new))
+            bsum = pc if bsum is None else bsum + pc
         run_end = jnp.roll(key_new, -1).at[-1].set(True)
-        b = jnp.minimum(
-            jax.lax.population_count(or_scan).astype(jnp.uint32), jnp.uint32(cs)
-        )
+        b = jnp.minimum(bsum.astype(jnp.uint32), jnp.uint32(cs))
         bins_d = [
             jnp.sum((run_end & (b == i)).astype(jnp.int32))
             for i in range(1, n_members + 1)
@@ -385,10 +408,15 @@ def _sweep_pallas_ok(n2: int, n_members: int) -> bool:
     from ..kernels.ksweep_scan_pallas import TILE
     from .occurrence import compute_on_tpu
 
-    return n2 % TILE == 0 and compute_on_tpu()
+    return (
+        n2 % TILE == 0
+        and n_members <= MASK_MEMBERS_PALLAS
+        and compute_on_tpu()
+    )
 
 
-def plan_sweep(ks: Sequence[int], n_members: int):
+def plan_sweep(ks: Sequence[int], n_members: int,
+               mask_limit: int = MASK_MEMBERS_PALLAS):
     """Choose the sort plan: ([(kmax, KW, cks, packed)], per_k_fallback_ks).
 
     Candidate plans, costed in sorted-words-per-text-position (doubled
@@ -404,25 +432,27 @@ def plan_sweep(ks: Sequence[int], n_members: int):
       4-operand packed sort vs 3+4-operand class sorts plus a per-k k=49
       fallback (8 vs 18 sorted words per position).
 
-    The cheaper plan wins; n_members > 32 disables the sweep entirely
-    (gid one-hot masks need <= 32 bits).
+    The cheaper plan wins; n_members > mask_limit disables the sweep
+    (exp1's occurrence consumers scan multi-channel masks and pass
+    MASK_MEMBERS_XLA = 64; the classification scans' bit-sliced masks
+    are single-channel, so they keep the 32-member default).
     """
     from .occurrence import occ_words_static
 
     ks = sorted(set(int(k) for k in ks))
-    if n_members > 32:
-        # the gid one-hot masks of the multi-k scan are uint32; groups
-        # beyond 32 genomes (download_genomes.py -n is unbounded) fall
-        # back to one fused sort PER k — correct, but the grid pays
-        # ~len(ks) sorts instead of ~1.  Surface the cost cliff.
+    if n_members > mask_limit or n_members > (1 << PACK_GID_BITS):
+        # groups beyond the scan's mask width (download_genomes.py -n is
+        # unbounded) fall back to one fused sort PER k — correct, but the
+        # grid pays ~len(ks) sorts instead of ~1.  Surface the cost cliff.
         if len(ks) >= 3:
             import logging
 
             logging.getLogger("khoice.ksweep").warning(
-                "shared-sort sweep disabled: %d members > 32 (uint32 gid "
-                "mask); falling back to %d per-k fused sorts — expect "
+                "shared-sort sweep disabled: %d members > %d (scan mask "
+                "width); falling back to %d per-k fused sorts — expect "
                 "~%dx the sweep's sort volume for this group",
-                n_members, len(ks), len(ks),
+                n_members, min(mask_limit, 1 << PACK_GID_BITS),
+                len(ks), len(ks),
             )
         return [], ks
     if len(ks) < 3:
@@ -469,7 +499,7 @@ def occurrence_histograms_sweep_packed(
     codes, gids = packed
     out: Dict[int, List[int]] = {}
     n2 = 2 * int(codes.shape[0])
-    classes, remaining = plan_sweep(ks, n_members)
+    classes, remaining = plan_sweep(ks, n_members, MASK_MEMBERS_XLA)
     for kmax, KW, cks, pay_packed in classes:
         use_pallas = _sweep_pallas_ok(n2, n_members)
         hists = np.asarray(

@@ -45,6 +45,8 @@ import numpy as np
 
 from ..utils.logging import get_logger
 from .ksweep import (
+    MASK_MEMBERS_PALLAS,
+    MASK_MEMBERS_XLA,
     PACK_GID_BITS,
     PACK_NIO_BITS,
     _extract_fwd_sweep,
@@ -88,7 +90,7 @@ def incore_sweep_bytes(
     input + output).  Used by run_exp1 to dispatch groups beyond the
     device budget to the streaming path automatically — the user never
     chooses, exactly as with KMC's -m64."""
-    classes, _rem = plan_sweep(ks, n_members)
+    classes, _rem = plan_sweep(ks, n_members, MASK_MEMBERS_XLA)
     n2 = 2 * total_positions
     worst = 0
     for kmax, KW, _cks, packed in classes:
@@ -238,8 +240,10 @@ def occurrence_histograms_sweep_streaming(
     from ..kernels.ksweep_scan_pallas import TILE
 
     n_members = len(member_codes)
-    assert n_members <= (1 << PACK_GID_BITS), "packed gid field is 5 bits"
-    classes, remaining = plan_sweep(ks, n_members)
+    assert n_members <= (1 << PACK_GID_BITS), (
+        f"packed gid field is {PACK_GID_BITS} bits"
+    )
+    classes, remaining = plan_sweep(ks, n_members, MASK_MEMBERS_XLA)
     out: Dict[int, List[int]] = {}
 
     for kmax, KW, cks, packed in classes:
@@ -273,7 +277,7 @@ def occurrence_histograms_sweep_streaming(
 
         dj = jax.device_put(d)
         sj = jax.device_put(jnp.asarray(starts))
-        use_pallas = compute_on_tpu()
+        use_pallas = compute_on_tpu() and n_members <= MASK_MEMBERS_PALLAS
 
         # Overflow recovery is CONTAINED: a key-range group whose buffer
         # cap overflows (key-space skew, e.g. long poly-A) is re-queued

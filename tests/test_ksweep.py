@@ -55,8 +55,16 @@ def test_plan_sweep_master_for_reference_grid():
     # small grids keep the cheaper narrow class
     classes, remaining = plan_sweep([7, 9, 12, 20, 30], 8)
     assert len(classes) == 1 and classes[0][1] == 2
-    # >32 members disables the sweep
+    # classify callers (default mask_limit=32) fall back above 32 members;
+    # exp1's occurrence consumers scan two mask channels and sweep to 64
+    from khoice_tpu.engine.ksweep import MASK_MEMBERS_XLA
+
     assert plan_sweep(grid, 33) == ([], sorted(set(grid)))
+    classes, remaining = plan_sweep(grid, 48, MASK_MEMBERS_XLA)
+    assert remaining == [] and len(classes) == 1
+    classes, remaining = plan_sweep(grid, 64, MASK_MEMBERS_XLA)
+    assert remaining == [] and len(classes) == 1
+    assert plan_sweep(grid, 65, MASK_MEMBERS_XLA) == ([], sorted(set(grid)))
 
 
 def test_sweep_master_class_matches_fused(rng):
@@ -94,6 +102,30 @@ def test_sweep_packed_payload_even_k_palindromes(rng):
     classes, _ = plan_sweep(ks, len(members))
     assert any(c[3] for c in classes), "expected a packed class"
     _check_vs_fused(members, ks)
+
+
+def test_sweep_wide_members_matches_fused(rng):
+    """48- and 64-member groups ride the shared sort bit-exactly (the
+    former 32-member cliff, round-4 VERDICT task 5): the scan runs two
+    uint32 mask channels and the packed gid field is 6 bits wide."""
+    base = random_dna(rng, 220)
+    for n in (33, 48, 64):
+        members = []
+        for i in range(n):
+            seq = list(base)
+            for _ in range(5 + i % 11):
+                seq[rng.randrange(len(base))] = "ACGT"[rng.randrange(4)]
+            members.append("".join(seq) + random_dna(rng, 30 + i % 17))
+        ks = [7, 12, 16, 21, 33]
+        codes = _member_codes(members)
+        from khoice_tpu.engine.ksweep import MASK_MEMBERS_XLA, plan_sweep
+
+        classes, remaining = plan_sweep(ks, n, MASK_MEMBERS_XLA)
+        assert remaining == [] and classes, f"n={n} must sweep"
+        got = occurrence_histograms_sweep(codes, ks, cx=80)
+        for k in ks:
+            want = occurrence_histogram(codes, k, cx=80)
+            assert got[k] == want, f"n={n} k={k}"
 
 
 def test_sweep_matches_fused_random(rng):

@@ -130,6 +130,16 @@ def _run_one(cfg: KhoiceConfig, args, db, exp0_root: str) -> int:
     et = cfg.exp_type
     log.info("exp_type=%d datasets=%d k-grid=%d points", et, len(db), len(cfg.k_values))
 
+    # SPMD over the key-range mesh axis: exp1's sweep and the exp2/3/4
+    # classification sweeps all shard (the reference fans every experiment
+    # over cores the same way, exp_type_2.smk:354-380)
+    mesh = None
+    if cfg.mesh_shards > 1 and et in (1, 2, 3, 4):
+        from .dist.mesh import make_mesh
+
+        mesh = make_mesh(cfg.mesh_shards)
+        log.info("SPMD over %d devices (kv key-range axis)", cfg.mesh_shards)
+
     def genomes_of(num):
         return [db[num][name] for name in sorted(db[num])]
 
@@ -142,12 +152,6 @@ def _run_one(cfg: KhoiceConfig, args, db, exp0_root: str) -> int:
     elif et == 1:
         from .pipelines.exp1 import run_exp1
 
-        mesh = None
-        if cfg.mesh_shards > 1:
-            from .dist.mesh import make_mesh
-
-            mesh = make_mesh(cfg.mesh_shards)
-            log.info("SPMD over %d devices (kv key-range axis)", cfg.mesh_shards)
         groups = {num: genomes_of(num) for num in db}
         driver.run([Stage(
             name="exp1",
@@ -177,7 +181,7 @@ def _run_one(cfg: KhoiceConfig, args, db, exp0_root: str) -> int:
                 outputs=[os.path.join(cfg.work_root, "within_dataset_analysis_type_2/within_dataset_analysis.csv")],
                 fn=lambda: run_exp2(pivots, nonpivot_genomes, cfg.k_values, cfg.work_root,
                                     union_cs=cfg.union_cs, count_cs=cfg.count_cs,
-                                    hist_cx=cfg.hist_cx),
+                                    hist_cx=cfg.hist_cx, mesh=mesh),
             )])
         elif et == 3:
             from .pipelines.exp3 import run_exp3, simulate_exp3_reads
@@ -187,7 +191,8 @@ def _run_one(cfg: KhoiceConfig, args, db, exp0_root: str) -> int:
                 name="exp3",
                 outputs=[os.path.join(cfg.work_root, "final_analysis_type3/final_analysis_type3.csv")],
                 fn=lambda: run_exp3(reads, nonpivot_genomes, cfg.k_values, cfg.work_root,
-                                    union_cs=cfg.union_cs, count_cs=cfg.count_cs),
+                                    union_cs=cfg.union_cs, count_cs=cfg.count_cs,
+                                    mesh=mesh),
             )])
         elif et == 4:
             from .pipelines.exp4 import run_exp4
@@ -199,7 +204,8 @@ def _run_one(cfg: KhoiceConfig, args, db, exp0_root: str) -> int:
                 name="exp4",
                 outputs=[os.path.join(cfg.work_root, "accuracies_type_4/accuracy_values.csv")],
                 fn=lambda: run_exp4(pivots, rest, cfg.k_values, cfg.work_root,
-                                    count_cs=cfg.count_cs, union_cs=cfg.union_cs),
+                                    count_cs=cfg.count_cs, union_cs=cfg.union_cs,
+                                    mesh=mesh),
             )])
         elif et == 6:
             from .pipelines.exp6 import run_exp6, READ_TYPE_LABEL

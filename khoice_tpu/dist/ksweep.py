@@ -85,6 +85,8 @@ def _local_sweep(
     bucket_cap,
     chunk,
     packed,
+    mode="occ",
+    mode_params=None,
 ):
     codes = slab_codes[0]  # [L] = chunk + kmax - 1
     gids = slab_gids[0]
@@ -124,12 +126,19 @@ def _local_sweep(
     sp = tuple(jax.lax.sort(list(elems), num_keys=n_ops, is_stable=False))
 
     # (key, gid, nio)-dedupe + rank space: bucket boundaries live in
-    # deduped-element rank, so repeated keys can't overflow a bucket
+    # deduped-element rank, so repeated keys can't overflow a bucket.
+    # The presence-mask scans (occ / pivot_rest / multi_pivot /
+    # containment) are duplicate-insensitive (OR of one-hot gids); exp4's
+    # "buckets" mode SUMS pivot multiplicities per run, so it must keep
+    # every duplicate and forgo the exchange-volume reduction.
     prev = tuple(jnp.roll(w, 1) for w in sp)
     is_pad = words_eq(sp[:KW], tuple(jnp.full_like(sp[0], v) for v in pad_vals[:KW]))
     if not packed:
         is_pad = is_pad & (sp[KW] == 0)
-    live = (~words_eq(sp, prev)).at[0].set(True) & ~is_pad
+    if mode == "buckets":
+        live = ~is_pad
+    else:
+        live = (~words_eq(sp, prev)).at[0].set(True) & ~is_pad
     n2 = sp[0].shape[0]
     rank, rpos, total = rank_positions(live)
 
@@ -162,24 +171,37 @@ def _local_sweep(
     flat = tuple(w.reshape(-1) for w in recv)
     sm = tuple(jax.lax.sort(list(flat), num_keys=n_ops, is_stable=False))
 
-    dp = _scan_multi_k_xla(
-        sm[:KW],
-        None if packed else sm[KW],
-        ks,
-        kmax,
-        KW,
-        n_members,
-        cs,
-        packed=packed,
-        raw=True,
-    )  # (2, n_ks, n_members) — halving happens after the psum
+    if mode == "occ":
+        dp = _scan_multi_k_xla(
+            sm[:KW],
+            None if packed else sm[KW],
+            ks,
+            kmax,
+            KW,
+            n_members,
+            cs,
+            packed=packed,
+            raw=True,
+        )  # (2, n_ks, n_members) — halving happens after the psum
+    else:
+        # classification scans (exp2/3/4) over the same sharded sort:
+        # splits are kmin-prefix aligned, so every per-run quantity
+        # (presence masks, saturated pivot sums, pal halving) is exact
+        # per shard and the (2, n_ks, bins) raw stats just psum
+        from ..engine.ksweep_classify import classify_scan_raw
+
+        dp = classify_scan_raw(
+            sm[:KW], None if packed else sm[KW], ks, kmax, KW, cs,
+            packed, mode, mode_params,
+        )
     dp = jax.lax.psum(dp, AXIS)
     overflow_any = jax.lax.pmax(overflow.astype(jnp.int32), AXIS)
     return dp, overflow_any
 
 
 @lru_cache(maxsize=64)
-def _sweep_fn(mesh, ks, kmax, KW, n_members, n_shards, cs, bucket_cap, chunk, packed):
+def _sweep_fn(mesh, ks, kmax, KW, n_members, n_shards, cs, bucket_cap, chunk,
+              packed, mode="occ", mode_params=None):
     local = partial(
         _local_sweep,
         ks=ks,
@@ -191,6 +213,8 @@ def _sweep_fn(mesh, ks, kmax, KW, n_members, n_shards, cs, bucket_cap, chunk, pa
         bucket_cap=bucket_cap,
         chunk=chunk,
         packed=packed,
+        mode=mode,
+        mode_params=mode_params,
     )
     return jax.jit(
         jax.shard_map(
@@ -202,31 +226,40 @@ def _sweep_fn(mesh, ks, kmax, KW, n_members, n_shards, cs, bucket_cap, chunk, pa
     )
 
 
-def run_sweep_plan(
+def run_sweep_plan_raw(
     mesh: Mesh,
     member_codes: Sequence[np.ndarray],
     ks: Sequence[int],
     cs: int,
-    cx: int,
     bucket_cap: int | None,
     slack: float,
     upload,
     to_host,
-    per_k_fallback,
-) -> Dict[int, List[int]]:
-    """Shared driver for the SPMD sweep: plan classes, slab, retry on
-    overflow, halve (d+p) per k. `upload` turns a host slab matrix into a
-    mesh-sharded array (single-host: jnp.asarray; multihost:
-    per-process assembly); `to_host` reads a replicated output; leftover
-    ks go to `per_k_fallback`."""
+    mode: str = "occ",
+    mode_params=None,
+    mask_limit: int | None = None,
+):
+    """Core SPMD sweep driver: plan classes, slab, retry on overflow,
+    psum raw (doubled, palindromic) stats and combine (d+p)//2 per k.
+
+    mode selects the per-shard scan: "occ" (exp1 occurrence histograms)
+    or a classification mode ("pivot_rest"/"multi_pivot"/"containment"/
+    "buckets", engine/ksweep_classify.classify_scan_raw).  `upload` turns
+    a host slab matrix into a mesh-sharded array (single-host:
+    jnp.asarray; multihost: per-process assembly); `to_host` reads a
+    replicated output.  Returns ({k: canonical stats np.ndarray},
+    leftover ks for the caller's per-k fallback)."""
     from ..engine.occurrence import pack_members
+    from ..engine.ksweep import MASK_MEMBERS_PALLAS
 
     d = mesh.devices.size
     codes, gids = pack_members(member_codes)
     n = codes.shape[0]
     n_members = len(member_codes)
-    classes, remaining = plan_sweep(ks, n_members, MASK_MEMBERS_XLA)
-    out: Dict[int, List[int]] = {}
+    if mask_limit is None:
+        mask_limit = MASK_MEMBERS_XLA if mode == "occ" else MASK_MEMBERS_PALLAS
+    classes, remaining = plan_sweep(ks, n_members, mask_limit)
+    out: Dict[int, np.ndarray] = {}
     for kmax, KW, cks, packed in classes:
         chunk = max(1, math.ceil(n / d))
         slab_codes, slab_gids = _make_slab_pair(codes, gids, d, kmax)
@@ -238,7 +271,8 @@ def run_sweep_plan(
         balanced_cap = cap
         while True:
             fn = _sweep_fn(
-                mesh, cks, kmax, KW, n_members, d, cs, cap, chunk, packed
+                mesh, cks, kmax, KW, n_members, d, cs, cap, chunk, packed,
+                mode, mode_params,
             )
             dp, overflow = fn(gc, gg)
             if int(np.asarray(to_host(overflow))) == 0:
@@ -258,11 +292,37 @@ def run_sweep_plan(
                 kmax, balanced_cap, cap, min(cks),
             )
         dp = np.asarray(to_host(dp))
-        m = min(n_members, cx)
         for i, k in enumerate(cks):
-            h = [0] * cx
-            h[:m] = ((dp[0, i, :m] + dp[1, i, :m]) // 2).tolist()
-            out[k] = h
+            out[k] = (dp[0, i] + dp[1, i]) // 2
+    return out, remaining
+
+
+def run_sweep_plan(
+    mesh: Mesh,
+    member_codes: Sequence[np.ndarray],
+    ks: Sequence[int],
+    cs: int,
+    cx: int,
+    bucket_cap: int | None,
+    slack: float,
+    upload,
+    to_host,
+    per_k_fallback,
+) -> Dict[int, List[int]]:
+    """exp1 wrapper over run_sweep_plan_raw: canonical stats become
+    occurrence histogram lists padded to cx; leftover ks go to
+    `per_k_fallback`."""
+    n_members = len(member_codes)
+    stats, remaining = run_sweep_plan_raw(
+        mesh, member_codes, ks, cs, bucket_cap, slack, upload, to_host,
+        mode="occ", mask_limit=MASK_MEMBERS_XLA,
+    )
+    out: Dict[int, List[int]] = {}
+    m = min(n_members, cx)
+    for k, cnt in stats.items():
+        h = [0] * cx
+        h[:m] = cnt[:m].tolist()
+        out[k] = h
     for k in remaining:
         out[k] = per_k_fallback(k)
     return out

@@ -111,16 +111,22 @@ def _sorted_doubled_fn(codes, gids, kmax, KW, packed):
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def _sweep_class_pivot_rest(skeys, spay, ks, kmax, KW, n_rest, cs, packed,
-                            use_pallas=False):
+                            use_pallas=False, raw=False):
     """(len(ks), n_rest+1) int32: [ki, j] = #canonical classes present in
     the pivot (member 0) and in exactly j of the rest members (1..n_rest).
 
     j = 0 -> `kmers_subtract` classes (all count 1); j >= 1 -> the
     `intersect -ocsum` class count at intersection count 1 + j
-    (reference exp_type_2.smk:354-380 semantics)."""
+    (reference exp_type_2.smk:354-380 semantics).
+
+    raw=True returns the (2, len(ks), n_rest+1) stacked (doubled,
+    palindromic) counts WITHOUT the (d+p)//2 combine — the sharded sweep
+    psums across shards first (a class's two strand runs can land in
+    different shards; dist/ksweep_classify.py)."""
     if use_pallas:
+        assert not raw
         from ..kernels.ksweep_scan_pallas import scan_multi_k_pallas
 
         return scan_multi_k_pallas(
@@ -130,7 +136,7 @@ def _sweep_class_pivot_rest(skeys, spay, ks, kmax, KW, n_rest, cs, packed,
     prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
     rest_mask = jnp.uint32(((1 << (n_rest + 1)) - 1) & ~1)
 
-    rows = []
+    d_rows, p_rows = [], []
     for k in ks:
         run_end, orv, pal, _ = _per_k_runs(
             skeys, spay, k, kmax, KW, packed, prev, rev, gid, nio
@@ -150,8 +156,11 @@ def _sweep_class_pivot_rest(skeys, spay, ks, kmax, KW, n_rest, cs, packed,
             )
         else:
             p = jnp.zeros((n_rest + 1,), jnp.int32)
-        rows.append(_canon(d, p))
-    return jnp.stack(rows)
+        d_rows.append(d)
+        p_rows.append(p)
+    if raw:
+        return jnp.stack([jnp.stack(d_rows), jnp.stack(p_rows)])
+    return jnp.stack([_canon(d, p) for d, p in zip(d_rows, p_rows)])
 
 
 # --------------------------------------------------------------------------
@@ -159,13 +168,17 @@ def _sweep_class_pivot_rest(skeys, spay, ks, kmax, KW, n_rest, cs, packed,
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
 def _sweep_class_multi_pivot(skeys, spay, ks, kmax, KW, D, cs, packed,
-                             use_pallas=False):
+                             use_pallas=False, raw=False):
     """(len(ks), D, D) int32: [ki, num, j] = #canonical classes present in
     pivot `num` and in exactly j of the OTHER datasets' group sets
-    (pivot num's own group excluded, exp_type_2.smk:263-283)."""
+    (pivot num's own group excluded, exp_type_2.smk:263-283).
+
+    raw=True returns (2, len(ks), D*D) stacked (doubled, palindromic)
+    counts, flattened, without the (d+p)//2 combine (sharded sweep)."""
     if use_pallas:
+        assert not raw
         from ..kernels.ksweep_scan_pallas import scan_multi_k_pallas
 
         flat = scan_multi_k_pallas(
@@ -175,12 +188,12 @@ def _sweep_class_multi_pivot(skeys, spay, ks, kmax, KW, D, cs, packed,
         return flat.reshape(len(ks), D, D)
     prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
 
-    rows = []
+    d_rows, p_rows = [], []
     for k in ks:
         run_end, orv, pal, _ = _per_k_runs(
             skeys, spay, k, kmax, KW, packed, prev, rev, gid, nio
         )
-        per_num = []
+        per_num_d, per_num_p = [], []
         for num in range(D):
             sel = run_end & (((orv >> num) & 1) == 1)
             others = jnp.uint32(((1 << D) - 1) & ~(1 << num)) << D
@@ -195,9 +208,18 @@ def _sweep_class_multi_pivot(skeys, spay, ks, kmax, KW, D, cs, packed,
                 )
             else:
                 p = jnp.zeros((D,), jnp.int32)
-            per_num.append(_canon(d, p))
-        rows.append(jnp.stack(per_num))
-    return jnp.stack(rows)
+            per_num_d.append(d)
+            per_num_p.append(p)
+        d_rows.append(jnp.stack(per_num_d))
+        p_rows.append(jnp.stack(per_num_p))
+    if raw:
+        return jnp.stack(
+            [
+                jnp.stack(d_rows).reshape(len(ks), D * D),
+                jnp.stack(p_rows).reshape(len(ks), D * D),
+            ]
+        )
+    return jnp.stack([_canon(d, p) for d, p in zip(d_rows, p_rows)])
 
 
 # --------------------------------------------------------------------------
@@ -205,14 +227,18 @@ def _sweep_class_multi_pivot(skeys, spay, ks, kmax, KW, D, cs, packed,
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
 def _sweep_class_containment(skeys, spay, ks, kmax, KW, nq, ng, cs, packed,
-                             use_pallas=False):
+                             use_pallas=False, raw=False):
     """(len(ks), nq, ng+1) int32: [ki, q, 0] = #canonical classes in query
     set q (the |distinct(reads)| denominator); [ki, q, 1+g] = #classes in
     query q AND group g (the intersection numerator)
-    (reference exp_type_3.smk:281-320)."""
+    (reference exp_type_3.smk:281-320).
+
+    raw=True returns (2, len(ks), nq*(ng+1)) stacked (doubled,
+    palindromic) counts, flattened, without the combine (sharded sweep)."""
     if use_pallas:
+        assert not raw
         from ..kernels.ksweep_scan_pallas import scan_multi_k_pallas
 
         flat = scan_multi_k_pallas(
@@ -222,12 +248,12 @@ def _sweep_class_containment(skeys, spay, ks, kmax, KW, nq, ng, cs, packed,
         return flat.reshape(len(ks), nq, ng + 1)
     prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
 
-    rows = []
+    d_rows, p_rows = [], []
     for k in ks:
         run_end, orv, pal, _ = _per_k_runs(
             skeys, spay, k, kmax, KW, packed, prev, rev, gid, nio
         )
-        per_q = []
+        per_q_d, per_q_p = [], []
         for q in range(nq):
             inq = run_end & (((orv >> q) & 1) == 1)
             cells = [jnp.sum(inq.astype(jnp.int32))]
@@ -244,9 +270,18 @@ def _sweep_class_containment(skeys, spay, ks, kmax, KW, nq, ng, cs, packed,
                 p = jnp.stack(cells)
             else:
                 p = jnp.zeros((ng + 1,), jnp.int32)
-            per_q.append(_canon(d, p))
-        rows.append(jnp.stack(per_q))
-    return jnp.stack(rows)
+            per_q_d.append(d)
+            per_q_p.append(p)
+        d_rows.append(jnp.stack(per_q_d))
+        p_rows.append(jnp.stack(per_q_p))
+    if raw:
+        return jnp.stack(
+            [
+                jnp.stack(d_rows).reshape(len(ks), nq * (ng + 1)),
+                jnp.stack(p_rows).reshape(len(ks), nq * (ng + 1)),
+            ]
+        )
+    return jnp.stack([_canon(d, p) for d, p in zip(d_rows, p_rows)])
 
 
 # --------------------------------------------------------------------------
@@ -254,9 +289,9 @@ def _sweep_class_containment(skeys, spay, ks, kmax, KW, nq, ng, cs, packed,
 # --------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8, 9, 10))
 def _sweep_class_feature_buckets(skeys, spay, ks, kmax, KW, D, cs, cap, packed,
-                                 use_pallas=False):
+                                 use_pallas=False, raw=False):
     """exp4 feature buckets for every k of a class in one sort.
 
     Returns (buckets (len(ks), D, D) int32, unique (len(ks),) int32):
@@ -266,8 +301,14 @@ def _sweep_class_feature_buckets(skeys, spay, ks, kmax, KW, D, cs, cap, packed,
     classify/annotate.feature_buckets over the per-k annotation
     (src/merge_lists.py:134-149 semantics, counter saturation at `cap` =
     KMC's 255 default).  A palindromic run carries both strands'
-    occurrences, so its multiplicity is halved BEFORE saturation."""
+    occurrences, so its multiplicity is halved BEFORE saturation.
+
+    raw=True returns ONE (2, len(ks), D*D+1) array — buckets flattened,
+    unique appended — of (doubled, palindromic) sums without the combine
+    (per-run saturation/pal-halving stay exact under sharding because a
+    run never tears across shards; dist/ksweep_classify.py)."""
     if use_pallas:
+        assert not raw
         from ..kernels.ksweep_scan_pallas import scan_multi_k_pallas
 
         flat = scan_multi_k_pallas(
@@ -278,6 +319,7 @@ def _sweep_class_feature_buckets(skeys, spay, ks, kmax, KW, D, cs, cap, packed,
     prev, rev, gid, nio = _scan_prelude(skeys, spay, packed)
 
     b_rows, u_rows = [], []
+    bp_rows, up_rows = [], []
     for k in ks:
         run_end, orv, pal, psum = _per_k_runs(
             skeys, spay, k, kmax, KW, packed, prev, rev, gid, nio,
@@ -310,9 +352,65 @@ def _sweep_class_feature_buckets(skeys, spay, ks, kmax, KW, D, cs, cap, packed,
         else:
             bp = jnp.zeros((D, D), jnp.int32)
             up = jnp.int32(0)
-        b_rows.append(_canon(bd, bp))
-        u_rows.append(_canon(ud, up))
-    return jnp.stack(b_rows), jnp.stack(u_rows)
+        b_rows.append(bd)
+        u_rows.append(ud)
+        bp_rows.append(bp)
+        up_rows.append(up)
+    if raw:
+        flat_d = jnp.concatenate(
+            [jnp.stack(b_rows).reshape(len(ks), D * D),
+             jnp.stack(u_rows).reshape(len(ks), 1)], axis=1
+        )
+        flat_p = jnp.concatenate(
+            [jnp.stack(bp_rows).reshape(len(ks), D * D),
+             jnp.stack(up_rows).reshape(len(ks), 1)], axis=1
+        )
+        return jnp.stack([flat_d, flat_p])
+    return (
+        jnp.stack([_canon(d, p) for d, p in zip(b_rows, bp_rows)]),
+        jnp.stack([_canon(d, p) for d, p in zip(u_rows, up_rows)]),
+    )
+
+
+def classify_scan_raw(skeys, spay, ks, kmax, KW, cs, packed, mode, mode_params):
+    """RAW (2, len(ks), bins) classify-scan dispatch for the sharded sweep
+    (dist/ksweep_classify.py): doubled + palindromic stats stacked, so the
+    cross-shard psum can run BEFORE the (d+p)//2 canonical combine."""
+    ks = tuple(int(k) for k in ks)
+    if mode == "pivot_rest":
+        return _sweep_class_pivot_rest(
+            skeys, spay, ks, kmax, KW, mode_params, cs, packed, False, True
+        )
+    if mode == "multi_pivot":
+        return _sweep_class_multi_pivot(
+            skeys, spay, ks, kmax, KW, mode_params, cs, packed, False, True
+        )
+    if mode == "containment":
+        nq, ng = mode_params
+        return _sweep_class_containment(
+            skeys, spay, ks, kmax, KW, nq, ng, cs, packed, False, True
+        )
+    if mode == "buckets":
+        D, cap = mode_params
+        return _sweep_class_feature_buckets(
+            skeys, spay, ks, kmax, KW, D, cs, cap, packed, False, True
+        )
+    raise ValueError(f"unknown classify mode {mode!r}")
+
+
+def classify_mode_bins(mode: str, mode_params) -> int:
+    """Flattened per-k bin count of classify_scan_raw's output."""
+    if mode == "pivot_rest":
+        return mode_params + 1
+    if mode == "multi_pivot":
+        return mode_params * mode_params
+    if mode == "containment":
+        nq, ng = mode_params
+        return nq * (ng + 1)
+    if mode == "buckets":
+        D, _cap = mode_params
+        return D * D + 1
+    raise ValueError(f"unknown classify mode {mode!r}")
 
 
 # --------------------------------------------------------------------------

@@ -86,14 +86,32 @@ def run_exp2(
     union_cs: int = 5000,
     count_cs: int = 255,
     hist_cx: int = 10000,
+    mesh=None,
 ) -> Dict[str, str]:
     """pivots: {num: pivot record seqs}; rest_of_set excludes the pivot
     (exp2 is always out-pivot: input_type_2 copies exp0_nonpivot_genomes).
+
+    Passing a jax.sharding.Mesh runs both scopes' sweeps SPMD over its
+    key-range axis (dist/ksweep_classify.py) — bit-identical CSVs, the
+    reference's per-(k, dataset) core fan-out (exp_type_2.smk:354-380)
+    collapsed into sharded programs.
     """
     from ..engine.ksweep_classify import (
         multi_pivot_counts_sweep,
         pivot_rest_counts_sweep,
     )
+
+    if mesh is not None:
+        from ..dist.ksweep_classify import (
+            sharded_multi_pivot_counts_sweep,
+            sharded_pivot_rest_counts_sweep,
+        )
+
+        def pivot_rest_counts_sweep(members, ks, cs):  # noqa: F811
+            return sharded_pivot_rest_counts_sweep(mesh, members, ks, cs=cs)
+
+        def multi_pivot_counts_sweep(members, D, ks, cs):  # noqa: F811
+            return sharded_multi_pivot_counts_sweep(mesh, members, D, ks, cs=cs)
 
     eng = engine or KmerEngine()
     nums = sorted(rest_of_set)

@@ -54,10 +54,21 @@ def run_exp3(
     engine: KmerEngine | None = None,
     union_cs: int = 5000,
     count_cs: int = 255,
+    mesh=None,
 ) -> str:
     """reads: {(read_type, pivot_num): [read strings]} (see
-    simulate_exp3_reads); rest_of_set excludes each pivot (out-pivot)."""
+    simulate_exp3_reads); rest_of_set excludes each pivot (out-pivot).
+    A jax.sharding.Mesh runs the containment sweep SPMD
+    (dist/ksweep_classify.py), bit-identical CSV."""
     from ..engine.ksweep_classify import containment_counts_sweep
+
+    if mesh is not None:
+        from ..dist.ksweep_classify import sharded_containment_counts_sweep
+
+        def containment_counts_sweep(members, nq, ng, ks, cs):  # noqa: F811
+            return sharded_containment_counts_sweep(
+                mesh, members, nq, ng, ks, cs=cs
+            )
 
     eng = engine or KmerEngine()
     nums = sorted(rest_of_set)

@@ -67,14 +67,25 @@ def run_exp4(
     engine: KmerEngine | None = None,
     count_cs: int = 255,
     union_cs: int = 5000,
+    mesh=None,
 ) -> str:
     """pivots: {num: pivot record seqs}; rest_of_set: {num: [genome,...]}
     (with the pivot already included per dataset when doing in-pivot).
 
     Writes accuracies_type_4/{confusion_matrix,values}/ and the
     concatenated accuracy_values.csv; returns the concatenated path.
+    A jax.sharding.Mesh runs each pivot's buckets sweep SPMD
+    (dist/ksweep_classify.py), bit-identical outputs.
     """
     from ..engine.ksweep_classify import feature_buckets_sweep
+
+    if mesh is not None:
+        from ..dist.ksweep_classify import sharded_feature_buckets_sweep
+
+        def feature_buckets_sweep(members, D, ks, cap, cs):  # noqa: F811
+            return sharded_feature_buckets_sweep(
+                mesh, members, D, ks, cap=cap, cs=cs
+            )
 
     eng = engine or KmerEngine()
     nums = sorted(rest_of_set)

@@ -29,20 +29,18 @@ bitonic merge orders ties arbitrarily — the same semantics as
 `lax.sort(is_stable=False)` (payload operands travel with their
 element; their order within equal keys is unspecified).
 
-STATUS (round 4, measured on the v5e chip): exact at the master shape
-(full-size hardware check vs lax.sort passes) but NOT yet faster —
-~57 ms/level x 13 levels ~= 780 ms vs the flat sort's 229 ms.  The
-breakdown: DMA+grid floor ~6-14 ms/level, co-ranks ~16 ms/level, and
-~28 ms/level of in-VMEM network compute (the 13-stage merge + reversal
-over 5 planes) where XLA's own VMEM row sort shows ~3x better
-compare-exchange throughput is possible.  The level count (13) times
-the unoptimized stage cost is the gap; closing it needs Mosaic-level
-tuning (vreg-resident planes, packed-mode flag elision, T=16384 tiles,
-longer local runs for fewer levels).  The hot path therefore still uses
-the flat sort (engine/ksweep._sweep_doubled); this module is kept as a
-correct, tested scaffold with exactness pinned in
-tests/test_merge_sort.py (interpret mode on CPU; full-size hardware
-equality was verified manually on the chip).
+STATUS (round 5): RETIRED as a replacement candidate — kept as a
+correct, exactness-pinned scaffold (tests/test_merge_sort.py; full-size
+hardware equality verified on the chip).  Fresh round-5 measurements
+(tools/microbench_mergesort.py) and the full post-mortem live in
+BASELINE.md: XLA's own compare-exchange stage cost (0.45 ms/stage at
+the master shape) puts a PERFECT merge-path at ~166 ms vs the flat
+sort's 229 ms — below the flat sort but above the round-4 target
+(~120 ms), and 3-4x below this kernel's measured ~2.0 ms/stage network
+(the linearized (128,128) layout makes sub-lane shuffles 3-roll
+composites and the 5-plane flag-led comparator costs ~50 VPU
+ops/element/stage).  The hot path keeps the flat sort
+(engine/ksweep._sweep_doubled).
 """
 
 from __future__ import annotations

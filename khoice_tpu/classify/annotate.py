@@ -268,6 +268,104 @@ def _read_votes_merge(group_cg, reads_flat, k, num_datasets, lcm):
     return qmask, qvalid
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _read_votes_merge_dyn(group_cg, reads_flat, k, kmax, n_words, num_datasets):
+    """_read_votes_merge with k as a TRACED scalar (kmax/n_words static).
+
+    One XLA compile serves every k of the same key-word width — the
+    reference's 30-point grid (workflow/Snakefile:36) otherwise costs one
+    multi-hundred-M-element sort compile per k. Extraction uses the
+    incremental predicated pushes of _extract_canonical_dyn; everything
+    downstream (the merge sort, the segmented OR scans, the payload sort)
+    is already shape-static. Bit-identical masks to the static path for
+    any k <= kmax of the same width (tested)."""
+    from ..engine.ksweep import _seg_or_scan
+    from ..engine.occurrence import _extract_canonical_dyn
+
+    gcodes, ggids = group_cg
+    tkeys, tvalid = _extract_canonical_dyn(gcodes, k, kmax, n_words)
+    qkeys, qvalid = _extract_canonical_dyn(reads_flat, k, kmax, n_words)
+    nq = reads_flat.shape[0]
+    tpay = jnp.where(tvalid, ggids, jnp.uint32(0))
+    qpay = jnp.uint32(num_datasets) + jnp.arange(nq, dtype=jnp.uint32)
+    w = n_words
+    keys = tuple(jnp.concatenate([tw, qw]) for tw, qw in zip(tkeys, qkeys))
+    pay = jnp.concatenate([tpay, qpay])
+    ops = jax.lax.sort(list(keys) + [pay], num_keys=w, is_stable=False)
+    skeys, spay = tuple(ops[:w]), ops[w]
+    prev = tuple(jnp.roll(x, 1) for x in skeys)
+    key_new = (~words_eq(skeys, prev)).at[0].set(True)
+    is_text = spay < jnp.uint32(num_datasets)
+    m = jnp.where(is_text, jnp.uint32(1) << spay, jnp.uint32(0))
+    fwd = _seg_or_scan(m, key_new)
+    run_end = jnp.roll(key_new, -1).at[-1].set(True)
+    bwd = _seg_or_scan(m[::-1], run_end[::-1])[::-1]
+    total = fwd | bwd
+    total = jnp.where(words_is_sentinel(skeys), 0, total)
+    fq, fmask = jax.lax.sort([spay, total], num_keys=1, is_stable=False)
+    qmask = fmask[tkeys[0].shape[0] :]
+    return qmask, qvalid
+
+
+def concat_flat_reads(flats: Sequence[tuple]):
+    """Concatenate per-pivot flat_reads_device outputs into ONE device
+    query array (each read row already ends with a separator 4, so no
+    k-mer window can span two pivots — spanning windows contain the
+    separator and are invalid).  Returns (big_flat, spans) where
+    spans[i] = (offset, r, l) recovers pivot i's slice."""
+    big = jnp.concatenate([f for f, _, _ in flats])
+    spans, off = [], 0
+    for f, r, l in flats:
+        spans.append((off, r, l))
+        off += int(f.shape[0])
+    return big, spans
+
+
+def read_votes_bulk_multi(
+    group, big_flat, spans, k: int, num_datasets: int, kmax: int | None = None
+):
+    """ALL pivots' reads voted from ONE merge-join sort per k (exp6).
+
+    The group texts dominate the sort volume and are identical for every
+    pivot, so per-(k, pivot) sorts re-sort the same ~85% of elements D
+    times (the round-4 exp6 profile: one 162M-element sort per (k, pivot)
+    at reference scale).  Here every pivot's reads ride the same sort —
+    query payloads carry GLOBAL flat positions, and per-pivot
+    (votes, unmatched, n_kmers) come from slicing the position-ordered
+    masks at the recorded spans.  With kmax set, the dynamic-k kernel is
+    used so one compile serves the whole key-word class.
+
+    group: pack_group_texts output; big_flat/spans: concat_flat_reads
+    output.  Returns a list of host (votes [R,D] int64, unmatched [R],
+    n_kmers [R]) triples aligned with spans — identical values to
+    read_votes_bulk per pivot (tested)."""
+    if kmax is None:
+        qmask, qvalid = _read_votes_merge(group, big_flat, k, num_datasets, 0)
+    else:
+        from ..engine.bits import key_words
+
+        nw = key_words(kmax)
+        assert key_words(k) == nw, (k, kmax)
+        qmask, qvalid = _read_votes_merge_dyn(
+            group, big_flat, jnp.uint32(k), kmax, nw, num_datasets
+        )
+    lcm = vote_lcm(num_datasets)
+    out = []
+    for off, r, l in spans:
+        n = r * (l + 1)
+        v, u, nk = _votes_from_masks(
+            qmask[off : off + n], qvalid[off : off + n], r, l, num_datasets, lcm
+        )
+        out.append(
+            (
+                np.asarray(v).astype(np.int64),
+                np.asarray(u).astype(np.int64),
+                np.asarray(nk).astype(np.int64),
+            )
+        )
+    return out
+
+
 def pack_group_texts(group_codes: List[np.ndarray]):
     """Pack + upload the per-dataset group texts ONCE for read_votes_bulk
     (re-uploading ~170 MB per (k, pivot) over the dev tunnel dominated

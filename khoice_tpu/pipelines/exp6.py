@@ -22,7 +22,6 @@ from ..classify import (
     write_accuracy_csv,
     write_confusion_matrix,
 )
-from ..classify.annotate import read_votes_bulk
 from ..engine.session import KmerEngine
 from ..io.packing import encode_records, encode_seq
 from .exp4 import glob_lexicographic
@@ -60,48 +59,47 @@ def run_exp6(
     label = READ_TYPE_LABEL.get(read_type, read_type)
     acc_dir = os.path.join(out_dir, f"accuracies_type_6/{read_type}")
 
-    from ..classify.annotate import flat_reads_device, pack_group_texts
+    from ..classify.annotate import (
+        concat_flat_reads,
+        flat_reads_device,
+        pack_group_texts,
+        read_votes_bulk_multi,
+    )
+    from ..engine.bits import key_words
 
     group_codes = [
         encode_records([s for g in rest_of_set[num] for s in g]) for num in nums
     ]
     packed_groups = pack_group_texts(group_codes)
-    flats = {
-        num: flat_reads_device(reads_matrix(pivot_reads[num])) for num in nums
-    }
+    big_flat, spans = concat_flat_reads(
+        [flat_reads_device(reads_matrix(pivot_reads[num])) for num in nums]
+    )
 
+    # ALL pivots vote from ONE merge-join sort per k (the group texts —
+    # ~85% of the sort volume at reference scale — are shared), and one
+    # dynamic-k compile serves each key-word class of the grid instead of
+    # one compile per k; this is exp6's counterpart of the shared-sort
+    # k-sweeps exp1-4 ride (round-4 exp6 was ~47 s/k = one 162M-element
+    # sort + one compile per (k, pivot)).
+    by_width: Dict[int, List[int]] = {}
     for k in k_values:
-        # read-level voting uses only the dataset masks, and those come
-        # from ONE merge-join sort per (k, pivot) over [group texts +
-        # read k-mers] (classify/annotate.read_votes_bulk) — no
-        # per-query binary search (measured ~27 gather rounds/query,
-        # ~4.5 min per k at reference scale before this)
-        cm, cm_ucol = [], []
-        for num in nums:
-            votes, _unmatched, _nk = read_votes_bulk(
-                packed_groups, flats[num], k, d
-            )
-            rng = np.random.default_rng([seed, trial, k, num])
-            row = read_level_confusion_row(votes, d, rng)
-            # regular and with-unidentified matrices take the SAME class
-            # increments (reference merge_lists.py:182-183)
-            cm.append(list(row))
-            cm_ucol.append(list(row))
+        by_width.setdefault(key_words(k), []).append(k)
 
-        write_confusion_matrix(
-            os.path.join(acc_dir, f"confusion_matrix/k_{k}_confusion_matrix.txt"), cm
-        )
-        write_confusion_matrix(
-            os.path.join(
-                acc_dir, f"confusion_matrix/k_{k}_confusion_matrix_with_unidentified.txt"
-            ),
-            cm_ucol,
-        )
-        write_accuracy_csv(
-            os.path.join(acc_dir, f"values/k_{k}_accuracy_values.csv"),
-            accuracy_values(cm, d, str(k)),
-            accuracy_values(cm_ucol, d, str(k)),
-        )
+    for _w, cks in sorted(by_width.items()):
+        kmax = max(cks) if len(cks) > 1 else None
+        for k in cks:
+            per_pivot = read_votes_bulk_multi(
+                packed_groups, big_flat, spans, k, d, kmax=kmax
+            )
+            cm, cm_ucol = [], []
+            for num, (votes, _unmatched, _nk) in zip(nums, per_pivot):
+                rng = np.random.default_rng([seed, trial, k, num])
+                row = read_level_confusion_row(votes, d, rng)
+                # regular and with-unidentified matrices take the SAME
+                # class increments (reference merge_lists.py:182-183)
+                cm.append(list(row))
+                cm_ucol.append(list(row))
+            _write_k_outputs(acc_dir, k, cm, cm_ucol, d)
 
     final = os.path.join(out_dir, f"trial_{trial}_{label}_acc.csv")
     with open(final, "w") as out_fd:
@@ -111,3 +109,20 @@ def run_exp6(
             with open(os.path.join(acc_dir, f"values/k_{k}_accuracy_values.csv")) as fd:
                 out_fd.write(fd.read())
     return final
+
+
+def _write_k_outputs(acc_dir: str, k: int, cm, cm_ucol, d: int) -> None:
+    write_confusion_matrix(
+        os.path.join(acc_dir, f"confusion_matrix/k_{k}_confusion_matrix.txt"), cm
+    )
+    write_confusion_matrix(
+        os.path.join(
+            acc_dir, f"confusion_matrix/k_{k}_confusion_matrix_with_unidentified.txt"
+        ),
+        cm_ucol,
+    )
+    write_accuracy_csv(
+        os.path.join(acc_dir, f"values/k_{k}_accuracy_values.csv"),
+        accuracy_values(cm, d, str(k)),
+        accuracy_values(cm_ucol, d, str(k)),
+    )

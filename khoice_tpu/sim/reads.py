@@ -47,9 +47,10 @@ _ASCII = np.frombuffer(b"ACGT", np.uint8)
 
 
 def _rows_to_strs(rows: np.ndarray) -> List[str]:
-    """Batch code-matrix -> strings via one ASCII lookup + per-row bytes."""
-    b = _ASCII[rows]
-    return [bytes(r).decode("ascii") for r in b]
+    """Batch code-matrix -> strings via one ASCII lookup + one buffer."""
+    r, l = rows.shape
+    buf = np.ascontiguousarray(_ASCII[rows]).tobytes()
+    return [buf[i * l : (i + 1) * l].decode("ascii") for i in range(r)]
 
 
 def sim_illumina(
@@ -141,24 +142,34 @@ def sim_ont(
         sub = err & (kinds < psub)
         ins = err & (kinds >= psub) & (kinds < psub + pins)
         dele = err & (kinds >= psub + pins)
+        # fully vectorized indel assembly across the whole read batch (the
+        # per-read loop was ~50k iterations x ~10 small-array numpy calls
+        # per dataset at reference scale): emit counts per position are
+        # 0 = deletion, 1 = keep, 2 = keep + inserted base after it; one
+        # flat np.repeat over [R * lmax] builds every read at once, and
+        # insertion slots are the run ends at flat `ins` positions.
         arange = np.arange(lmax)
-        for r in range(n_reads):
-            ln = int(lens[r])
-            read = codes[starts[r] : starts[r] + ln].astype(np.int64)
-            read = np.where(sub[r, :ln], (read + shifts[r, :ln]) % 4, read)
-            # emit counts per position: 0 = deletion, 1 = keep,
-            # 2 = keep + inserted random base after it
-            counts = 1 - dele[r, :ln].astype(np.int64) + ins[r, :ln]
-            rep = np.repeat(arange[:ln], counts)
-            result = read[rep].astype(np.uint8)
-            n_ins = int(ins[r, :ln].sum())
-            if n_ins:
-                ends = np.cumsum(counts)
-                result[ends[ins[r, :ln]] - 1] = rng.integers(
-                    0, 4, size=n_ins, dtype=np.int64
-                )
-            if result.size:
-                out.append(bytes(_ASCII[result]).decode("ascii"))
+        idx = starts[:, None] + arange[None, :]
+        mat = codes[np.minimum(idx, n - 1)].astype(np.int64)
+        mat = np.where(sub, (mat + shifts) % 4, mat)
+        counts = np.where(live, 1 - dele.astype(np.int64) + ins, 0)
+        flat_counts = counts.reshape(-1)
+        result = np.repeat(mat.reshape(-1), flat_counts).astype(np.uint8)
+        ins_flat = ins.reshape(-1)
+        n_ins = int(ins_flat.sum())
+        if n_ins:
+            ends = np.cumsum(flat_counts)
+            result[ends[ins_flat] - 1] = rng.integers(
+                0, 4, size=n_ins, dtype=np.int64
+            )
+        out_lens = counts.sum(axis=1)
+        buf = _ASCII[result].tobytes()
+        offs = np.concatenate([[0], np.cumsum(out_lens)])
+        out.extend(
+            buf[offs[r] : offs[r + 1]].decode("ascii")
+            for r in range(n_reads)
+            if out_lens[r]
+        )
     return out
 
 

@@ -140,6 +140,7 @@ def _write_clustal(path, genomes, width=60):
             fd.write("\n")
 
 
+@pytest.mark.heavy
 def test_msa_reference_surface(tmp_path):
     """parse_msa_file / figures / extract_sections vs src/analyze_msa.py
     semantics: nat-log entropy, 'valid' rolling, 0.35 crossings at

@@ -5,6 +5,7 @@ reference fans exp2-4 over cores exactly like exp1,
 workflow/rules/exp_type_2.smk:354-380; round-4 VERDICT task 4)."""
 
 import numpy as np
+import pytest
 
 from conftest import cpu_devices, random_dna
 from khoice_tpu.dist import make_mesh
@@ -18,6 +19,7 @@ def _world(rng):
     return pivots, rest
 
 
+@pytest.mark.heavy
 def test_exp2_csvs_byte_exact_on_mesh(rng, tmp_path):
     from khoice_tpu.pipelines.exp2 import run_exp2
 
@@ -30,6 +32,7 @@ def test_exp2_csvs_byte_exact_on_mesh(rng, tmp_path):
         assert open(sharded[key], "rb").read() == open(single[key], "rb").read()
 
 
+@pytest.mark.heavy
 def test_exp3_csv_byte_exact_on_mesh(rng, tmp_path):
     from khoice_tpu.pipelines.exp3 import run_exp3
 
@@ -45,6 +48,7 @@ def test_exp3_csv_byte_exact_on_mesh(rng, tmp_path):
     assert open(sharded, "rb").read() == open(single, "rb").read()
 
 
+@pytest.mark.heavy
 def test_exp4_csv_byte_exact_on_mesh(rng, tmp_path):
     """exp4's buckets mode sums pivot multiplicities (exchange dedupe
     disabled) — repeated pivot k-mers across shard boundaries stress it."""

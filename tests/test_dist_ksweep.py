@@ -1,6 +1,7 @@
 """Sharded shared-sort k-sweep (dist/ksweep.py) vs the single-device sweep."""
 
 import numpy as np
+import pytest
 
 from conftest import cpu_devices, random_dna
 from khoice_tpu.dist import make_mesh
@@ -35,6 +36,7 @@ def test_sharded_sweep_matches_single_device_across_classes(rng):
         assert got[k] == want[k], f"k={k}"
 
 
+@pytest.mark.heavy
 def test_sharded_sweep_device_count_invariance(rng):
     codes = _members(rng, n=3, glen=900)
     ks = [9, 13, 17, 25]
@@ -71,6 +73,7 @@ def test_sharded_sweep_fallback_per_k(rng):
         assert got[k] == want[k]
 
 
+@pytest.mark.heavy
 def test_sharded_sweep_overflow_retry(rng):
     """A tiny bucket cap forces the overflow-doubling path; results stay
     bit-exact after the retries."""

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 from khoice_tpu.engine.fastsort import WINDOW, fast_sort
 
 
+pytestmark = pytest.mark.heavy  # retired sort scaffold (BASELINE.md post-mortem)
+
 def _ref_sort(ops, nk):
     return tuple(np.asarray(w) for w in jax.lax.sort(list(ops), num_keys=nk, is_stable=False))
 

@@ -4,6 +4,7 @@ import sys
 import os
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -18,5 +19,6 @@ def test_entry_compiles_and_runs():
     assert hist[hist.nonzero()].min() > 0
 
 
+@pytest.mark.heavy
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)

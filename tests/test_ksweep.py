@@ -67,6 +67,7 @@ def test_plan_sweep_master_for_reference_grid():
     assert plan_sweep(grid, 65, MASK_MEMBERS_XLA) == ([], sorted(set(grid)))
 
 
+@pytest.mark.heavy
 def test_sweep_master_class_matches_fused(rng):
     """ks spanning every key-word class through ONE packed master sort."""
     base = random_dna(rng, 1200)
@@ -84,6 +85,7 @@ def test_sweep_master_class_matches_fused(rng):
     _check_vs_fused(members, ks)
 
 
+@pytest.mark.heavy
 def test_sweep_packed_payload_even_k_palindromes(rng):
     """Packed payload must not leak into palindrome detection (the payload
     lands in rev's top bits, above the 2k window) — even ks stress it."""
@@ -104,6 +106,7 @@ def test_sweep_packed_payload_even_k_palindromes(rng):
     _check_vs_fused(members, ks)
 
 
+@pytest.mark.heavy
 def test_sweep_wide_members_matches_fused(rng):
     """48- and 64-member groups ride the shared sort bit-exactly (the
     former 32-member cliff, round-4 VERDICT task 5): the scan runs two
@@ -128,6 +131,7 @@ def test_sweep_wide_members_matches_fused(rng):
             assert got[k] == want, f"n={n} k={k}"
 
 
+@pytest.mark.heavy
 def test_sweep_matches_fused_random(rng):
     base = random_dna(rng, 3000)
     members = []
@@ -159,6 +163,7 @@ def test_sweep_palindromes_and_polyA(rng):
     _check_vs_fused(members, [6, 7, 8, 10, 12, 14, 20])
 
 
+@pytest.mark.heavy
 def test_sweep_mask_widths(rng):
     # 9 and 17 members exercise the 16- and 32-bit mask subfields
     base = random_dna(rng, 600)
@@ -190,12 +195,14 @@ def test_sweep_vs_oracle_direct(rng):
         assert got[k] == oracle.histogram(od, cx=8)
 
 
+@pytest.mark.heavy
 def test_sweep_fallback_large_groups(rng):
     # >32 members falls back to the per-k path but must stay correct
     members = [random_dna(rng, 120) for _ in range(34)]
     _check_vs_fused(members, [9, 11, 13])
 
 
+@pytest.mark.heavy
 def test_sweep_pallas_kernel_interpret_packed(rng):
     """Packed-payload master class through the Pallas kernel (interpret)."""
     from khoice_tpu.engine.ksweep import (
@@ -256,6 +263,7 @@ def test_sweep_pallas_kernel_interpret_packed(rng):
         (4, (7, 8, 15), 15000),
     ],
 )
+@pytest.mark.heavy
 def test_sweep_pallas_kernel_interpret(rng, g, kset, member_len):
     """The Pallas multi-k kernel (interpret mode) against the XLA scan."""
     from khoice_tpu.engine.ksweep import (

@@ -93,6 +93,7 @@ def test_containment_counts_vs_oracle(rng):
                 assert counts[k][qi, 1 + gi] == inter, f"k={k} q={qi} g={gi}"
 
 
+@pytest.mark.heavy
 def test_feature_buckets_vs_oracle(rng):
     pivot, rest = _world(rng)
     # repeat a block so pivot multiplicities exceed 1 (and a tiny cap
@@ -120,6 +121,7 @@ def test_feature_buckets_vs_oracle(rng):
         assert got_u == eu, f"k={k}"
 
 
+@pytest.mark.heavy
 def test_group_mask_annotation_matches_merge(rng):
     """Global mask table == per-dataset tables + merge (exp6 fast path)."""
     from khoice_tpu.classify.annotate import (
@@ -149,6 +151,7 @@ def test_group_mask_annotation_matches_merge(rng):
         np.testing.assert_array_equal(n_new, n_old)
 
 
+@pytest.mark.heavy
 def test_pallas_classify_modes_match_xla(rng):
     """The Pallas kernel's classification modes (pivot_rest, multi_pivot,
     containment) must equal the XLA scans bin-for-bin — interpret mode on
@@ -220,6 +223,7 @@ def test_pallas_classify_modes_match_xla(rng):
     np.testing.assert_array_equal(got, want, err_msg="containment")
 
 
+@pytest.mark.heavy
 def test_pallas_buckets_mode_match_xla(rng):
     """The Pallas 'buckets' mode (saturating segmented SUM channel) must
     equal the XLA count-weighted scan, incl. saturation at a small cap
@@ -258,6 +262,7 @@ def test_pallas_buckets_mode_match_xla(rng):
     np.testing.assert_array_equal(got_u, np.asarray(want_u))
 
 
+@pytest.mark.heavy
 def test_read_votes_bulk_matches_lookup(rng):
     """Merge-join voting (read_votes_bulk) == binary-search voting over
     the global mask table, bit for bit — incl. reads with Ns, unmatched
@@ -283,3 +288,43 @@ def test_read_votes_bulk_matches_lookup(rng):
         np.testing.assert_array_equal(v2, v1, err_msg=f"k={k}")
         np.testing.assert_array_equal(u2, u1, err_msg=f"k={k}")
         np.testing.assert_array_equal(n2, n1, err_msg=f"k={k}")
+
+
+@pytest.mark.heavy
+def test_read_votes_bulk_multi_matches_per_pivot(rng):
+    """ONE sort for ALL pivots' reads (read_votes_bulk_multi), both the
+    static-k and dynamic-k (class-shared compile) kernels, == per-pivot
+    read_votes_bulk bit for bit — with different read counts/lengths per
+    pivot, Ns, and ks spanning 1/2/4-word key widths."""
+    from khoice_tpu.classify.annotate import (
+        concat_flat_reads,
+        flat_reads_device,
+        pack_group_texts,
+        read_votes_bulk,
+        read_votes_bulk_multi,
+    )
+    from khoice_tpu.pipelines.exp6 import reads_matrix
+
+    _, rest = _world(rng)
+    groups = [encode_records(g) for g in rest]
+    d = len(groups)
+    mats = [
+        reads_matrix(
+            [random_dna(rng, 40 + 10 * p) for _ in range(4 + p)]
+            + [rest[p][0][:50], "NN" + random_dna(rng, 30)]
+        )
+        for p in range(d)
+    ]
+    cg = pack_group_texts(groups)
+    big, spans = concat_flat_reads([flat_reads_device(m) for m in mats])
+    for kmax, cks in ((15, (7, 11)), (31, (16, 21)), (63, (33,))):
+        for i, k in enumerate(cks):
+            want = [read_votes_bulk(cg, m, k, d) for m in mats]
+            got_paths = [read_votes_bulk_multi(cg, big, spans, k, d, kmax=kmax)]
+            if i == 0:  # static-k path once per width class
+                got_paths.append(read_votes_bulk_multi(cg, big, spans, k, d))
+            for got in got_paths:
+                for (gv, gu, gn), (wv, wu, wn) in zip(got, want):
+                    np.testing.assert_array_equal(gv, wv, err_msg=f"k={k}")
+                    np.testing.assert_array_equal(gu, wu, err_msg=f"k={k}")
+                    np.testing.assert_array_equal(gn, wn, err_msg=f"k={k}")

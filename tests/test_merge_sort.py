@@ -15,7 +15,10 @@ from khoice_tpu.kernels.merge_pallas import T_TILE, merge_sort
 
 from khoice_tpu.engine.occurrence import compute_on_tpu
 
-pytestmark = pytest.mark.skipif(compute_on_tpu(), reason="interpret-mode suite")
+pytestmark = [
+    pytest.mark.skipif(compute_on_tpu(), reason="interpret-mode suite"),
+    pytest.mark.heavy,  # retired sort scaffold (BASELINE.md post-mortem)
+]
 
 
 def _check(ops, nk, row_len):

@@ -99,6 +99,7 @@ def test_device_count_invariance(rng):
         assert as_dict(sharded_count_codes(mesh, codes, 15)) == d1
 
 
+@pytest.mark.heavy
 def test_sharded_union_disjoint_distributions(rng):
     """Tables built from very different key distributions (GC-rich vs
     AT-rich vs shared core) must still union correctly — the round-2

@@ -81,6 +81,7 @@ def test_sharded_skewed_data_no_retry(rng):
     assert _dyn_occ_fn.cache_info().misses == 1
 
 
+@pytest.mark.heavy
 def test_cli_exp1_mesh_shards(rng, tmp_path, monkeypatch):
     """--mesh-shards N drives the SPMD path end-to-end through the CLI."""
     import gzip
@@ -106,6 +107,7 @@ def test_cli_exp1_mesh_shards(rng, tmp_path, monkeypatch):
         assert (single / rel).read_bytes() == (sharded / rel).read_bytes()
 
 
+@pytest.mark.heavy
 def test_exp1_sharded_csvs_match(rng, tmp_path):
     groups = {
         1: [[m] for m in make_members(rng, g=2)],

@@ -45,6 +45,7 @@ def test_streaming_matches_incore(rng):
         assert got[k] == want[k], f"k={k}"
 
 
+@pytest.mark.heavy
 def test_streaming_single_group_degenerate(rng):
     members = _members(rng)[:2]
     want = occurrence_histograms_sweep(members, KS, cx=8)
@@ -116,6 +117,7 @@ def test_streaming_overflow_retry_is_contained(rng, monkeypatch):
     assert scans == G
 
 
+@pytest.mark.heavy
 def test_streaming_auto_knobs(rng):
     """Default knob derivation from a small budget must still be exact."""
     members = _members(rng)[:3]

@@ -130,11 +130,12 @@ def _run_one(cfg: KhoiceConfig, args, db, exp0_root: str) -> int:
     et = cfg.exp_type
     log.info("exp_type=%d datasets=%d k-grid=%d points", et, len(db), len(cfg.k_values))
 
-    # SPMD over the key-range mesh axis: exp1's sweep and the exp2/3/4
-    # classification sweeps all shard (the reference fans every experiment
-    # over cores the same way, exp_type_2.smk:354-380)
+    # SPMD over the key-range mesh axis: exp1's sweep, the exp2/3/4
+    # classification sweeps, and exp6's read voting all shard (the
+    # reference fans every experiment over cores the same way,
+    # exp_type_2.smk:354-380, exp_type_6.smk:264-319)
     mesh = None
-    if cfg.mesh_shards > 1 and et in (1, 2, 3, 4):
+    if cfg.mesh_shards > 1 and et in (1, 2, 3, 4, 6):
         from .dist.mesh import make_mesh
 
         mesh = make_mesh(cfg.mesh_shards)
@@ -223,7 +224,8 @@ def _run_one(cfg: KhoiceConfig, args, db, exp0_root: str) -> int:
                     fn=(lambda reads_rt=reads_rt, rt=rt: run_exp6(
                         reads_rt, rest, cfg.k_values, cfg.work_root,
                         read_type=rt, trial=cfg.curr_trial, seed=cfg.seed,
-                        count_cs=cfg.count_cs, union_cs=cfg.union_cs)),
+                        count_cs=cfg.count_cs, union_cs=cfg.union_cs,
+                        mesh=mesh)),
                 ))
             driver.run(stages)
         elif et == 5:

@@ -175,9 +175,9 @@ def write_fasta(path: str, records: Iterable[FastaRecord], width: int = 60, gz: 
         gz = str(path).endswith(".gz")
     # one write per record (a 5 Mbp genome is ~83k lines; per-line writes
     # through the gzip text wrapper dominated exp0's wall time at
-    # reference scale), and zlib level 6 — level 9 is ~3x slower on DNA
-    # for ~1% size
-    fd = gzip.open(path, "wt", compresslevel=6) if gz else open(path, "w")
+    # reference scale), and zlib level 2 — levels 6/9 are 2-6x slower on
+    # DNA for a few % size on intermediate artifacts
+    fd = gzip.open(path, "wt", compresslevel=2) if gz else open(path, "w")
     with fd:
         for rec in records:
             seq, n = rec.seq, len(rec.seq)

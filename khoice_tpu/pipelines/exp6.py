@@ -49,9 +49,12 @@ def run_exp6(
     engine: KmerEngine | None = None,
     count_cs: int = 255,
     union_cs: int = 5000,
+    mesh=None,
 ) -> str:
     """pivot_reads: {num: [read strings]} (exp0 subset output);
     rest_of_set: {num: [genome,...]}. Returns the trial accuracy CSV path.
+    mesh: optional jax.sharding.Mesh — votes ride the key-range SPMD
+    merge-join (dist/vote.py), bit-identical to the single-device path.
     """
     del engine  # kept for signature compatibility; voting needs no engine
     nums = sorted(rest_of_set)
@@ -70,10 +73,18 @@ def run_exp6(
     group_codes = [
         encode_records([s for g in rest_of_set[num] for s in g]) for num in nums
     ]
-    packed_groups = pack_group_texts(group_codes)
-    big_flat, spans = concat_flat_reads(
-        [flat_reads_device(reads_matrix(pivot_reads[num])) for num in nums]
-    )
+    read_mats = [reads_matrix(pivot_reads[num]) for num in nums]
+
+    def write_k(k, per_pivot):
+        cm, cm_ucol = [], []
+        for num, (votes, _unmatched, _nk) in zip(nums, per_pivot):
+            rng = np.random.default_rng([seed, trial, k, num])
+            row = read_level_confusion_row(votes, d, rng)
+            # regular and with-unidentified matrices take the SAME
+            # class increments (reference merge_lists.py:182-183)
+            cm.append(list(row))
+            cm_ucol.append(list(row))
+        _write_k_outputs(acc_dir, k, cm, cm_ucol, d)
 
     # ALL pivots vote from ONE merge-join sort per k (the group texts —
     # ~85% of the sort volume at reference scale — are shared), and one
@@ -81,25 +92,30 @@ def run_exp6(
     # one compile per k; this is exp6's counterpart of the shared-sort
     # k-sweeps exp1-4 ride (round-4 exp6 was ~47 s/k = one 162M-element
     # sort + one compile per (k, pivot)).
-    by_width: Dict[int, List[int]] = {}
-    for k in k_values:
-        by_width.setdefault(key_words(k), []).append(k)
+    if mesh is not None:
+        from ..dist.vote import sharded_read_votes_multi
 
-    for _w, cks in sorted(by_width.items()):
-        kmax = max(cks) if len(cks) > 1 else None
-        for k in cks:
-            per_pivot = read_votes_bulk_multi(
-                packed_groups, big_flat, spans, k, d, kmax=kmax
-            )
-            cm, cm_ucol = [], []
-            for num, (votes, _unmatched, _nk) in zip(nums, per_pivot):
-                rng = np.random.default_rng([seed, trial, k, num])
-                row = read_level_confusion_row(votes, d, rng)
-                # regular and with-unidentified matrices take the SAME
-                # class increments (reference merge_lists.py:182-183)
-                cm.append(list(row))
-                cm_ucol.append(list(row))
-            _write_k_outputs(acc_dir, k, cm, cm_ucol, d)
+        by_k = sharded_read_votes_multi(mesh, group_codes, read_mats, k_values)
+        for k in k_values:
+            write_k(k, by_k[k])
+    else:
+        packed_groups = pack_group_texts(group_codes)
+        big_flat, spans = concat_flat_reads(
+            [flat_reads_device(m) for m in read_mats]
+        )
+        by_width: Dict[int, List[int]] = {}
+        for k in k_values:
+            by_width.setdefault(key_words(k), []).append(k)
+
+        for _w, cks in sorted(by_width.items()):
+            kmax = max(cks) if len(cks) > 1 else None
+            for k in cks:
+                write_k(
+                    k,
+                    read_votes_bulk_multi(
+                        packed_groups, big_flat, spans, k, d, kmax=kmax
+                    ),
+                )
 
     final = os.path.join(out_dir, f"trial_{trial}_{label}_acc.csv")
     with open(final, "w") as out_fd:

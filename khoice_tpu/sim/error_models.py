@@ -431,16 +431,69 @@ def _batch_hmm_qualities(model: "QualityHmm", rng: np.random.Generator,
     states = np.empty((n_reads, length), np.int64)
     states[:, 0] = rng.choice(s, size=n_reads, p=model.init)
     u = rng.random((n_reads, length))
-    for t in range(1, length):
-        # next state = #cumulative entries below the uniform (S is tiny)
-        states[:, t] = np.minimum(
-            (u[:, t, None] > ctrans[states[:, t - 1]]).sum(1), s - 1
-        )
+    if s == 2:
+        states = _walk_two_state(states[:, 0], u, ctrans)
+    else:
+        # per-step work reduced to ONE row gather by precomputing, for
+        # every (read, t, current state), the next state via per-state
+        # inverse-CDF searchsorted (chunked so the [R, T, S] candidate
+        # table stays under ~300 MB)
+        chunk = max(1, int(3e8) // (length * s))
+        for lo in range(0, n_reads, chunk):
+            hi = min(lo + chunk, n_reads)
+            cand = np.empty((hi - lo, length, s), np.int8)
+            for st in range(s):
+                cand[:, :, st] = np.minimum(
+                    np.searchsorted(ctrans[st], u[lo:hi]), s - 1
+                )
+            for t in range(1, length):
+                states[lo:hi, t] = np.take_along_axis(
+                    cand[:, t, :], states[lo:hi, t - 1, None], 1
+                )[:, 0]
     ue = rng.random((n_reads, length))
+    # emission sampling vectorized per STATE (S tiny), not per position
     quals = np.empty((n_reads, length), np.int64)
-    for t in range(length):
-        quals[:, t] = (ue[:, t, None] > cemit[states[:, t]]).sum(1)
+    for st in range(s):
+        m = states == st
+        quals[m] = np.searchsorted(cemit[st], ue[m])
     return np.minimum(quals, MAX_Q - 1).astype(np.int8)
+
+
+def _walk_two_state(x0: np.ndarray, u: np.ndarray, ctrans: np.ndarray) -> np.ndarray:
+    """Fully vectorized 2-state HMM state walk (no per-step Python loop).
+
+    From state s the next state is 1 iff u > ctrans[s, 0], so each step is
+    one of four reset/parity ops on the current state — const0, const1,
+    keep, flip — and op composition is associative: x_t equals the value
+    set by the LAST const step at/before t, XOR the parity of flip steps
+    since it (or x_0 XOR total flip parity if no const occurred).  All of
+    that is cummax / cumsum / row gathers — O(R*T) with ~8 numpy passes,
+    vs T sequential passes for the generic walk (the 1100-step loop was
+    60% of realistic-scale exp0 wall time)."""
+    r, t = u.shape
+    t0, t1 = ctrans[0, 0], ctrans[1, 0]
+    go1_from0 = u[:, 1:] > t0
+    go1_from1 = u[:, 1:] > t1
+    is_const = go1_from0 == go1_from1
+    const_val = go1_from0  # value when both states map to the same next
+    # non-const steps: from0 and from1 disagree; 'flip' iff from0 -> 1
+    is_flip = (~is_const) & go1_from0
+    # int16/int32 throughout: the walk is HBM..DRAM-bandwidth-bound on
+    # ~18 full [R, T] passes (int64 temporaries doubled its wall time)
+    idt = np.int16 if t < 32767 else np.int32
+    fcum = np.cumsum(is_flip, axis=1, dtype=idt)
+    ts = np.arange(1, t, dtype=idt)
+    # last const step index (column in the [R, T-1] step arrays) + 1; 0 = none
+    last = np.maximum.accumulate(np.where(is_const, ts, idt(0)), axis=1)
+    have = last > 0
+    lastc = np.maximum(last - 1, idt(0)).astype(idt)
+    base = np.where(have, np.take_along_axis(const_val, lastc, 1), x0[:, None] == 1)
+    f_at = np.where(have, np.take_along_axis(fcum, lastc, 1), idt(0))
+    x = base ^ ((np.subtract(fcum, f_at) & 1) == 1)
+    out = np.empty((r, t), np.int8)
+    out[:, 0] = x0
+    out[:, 1:] = x
+    return out
 
 
 def sample_qualities_batch(model, rng: np.random.Generator, n_reads: int,

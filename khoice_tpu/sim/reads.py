@@ -82,8 +82,8 @@ def sim_illumina(
         # from the positional profile, one substitution shift
         reads = codes[starts[:, None] + np.arange(read_len)[None, :]]
         errm = rng.random((n_reads, read_len)) < profile.pos_error[None, :]
-        shift = rng.integers(1, 4, size=(n_reads, read_len), dtype=np.int64)
-        reads = np.where(errm, (reads + shift) % 4, reads).astype(np.uint8)
+        shift = rng.integers(1, 4, size=(n_reads, read_len), dtype=np.uint8)
+        reads = np.where(errm, (reads + shift) & 3, reads)
         out.extend(_rows_to_strs(reads))
     return out
 
@@ -138,7 +138,7 @@ def sim_ont(
         live = np.arange(lmax)[None, :] < lens[:, None]
         err = (rng.random((n_reads, lmax)) < errp) & live
         kinds = rng.random((n_reads, lmax))
-        shifts = rng.integers(1, 4, size=(n_reads, lmax))
+        shifts = rng.integers(1, 4, size=(n_reads, lmax), dtype=np.uint8)
         sub = err & (kinds < psub)
         ins = err & (kinds >= psub) & (kinds < psub + pins)
         dele = err & (kinds >= psub + pins)
@@ -148,21 +148,20 @@ def sim_ont(
         # 0 = deletion, 1 = keep, 2 = keep + inserted base after it; one
         # flat np.repeat over [R * lmax] builds every read at once, and
         # insertion slots are the run ends at flat `ins` positions.
-        arange = np.arange(lmax)
-        idx = starts[:, None] + arange[None, :]
-        mat = codes[np.minimum(idx, n - 1)].astype(np.int64)
-        mat = np.where(sub, (mat + shifts) % 4, mat)
-        counts = np.where(live, 1 - dele.astype(np.int64) + ins, 0)
+        idx = (starts[:, None] + np.arange(lmax, dtype=np.int64)[None, :])
+        mat = codes[np.minimum(idx, n - 1)]  # uint8
+        mat = np.where(sub, (mat + shifts) & 3, mat)
+        counts = np.where(live, 1 - dele.astype(np.int8) + ins, 0).astype(np.int8)
         flat_counts = counts.reshape(-1)
-        result = np.repeat(mat.reshape(-1), flat_counts).astype(np.uint8)
+        result = np.repeat(mat.reshape(-1), flat_counts)
         ins_flat = ins.reshape(-1)
         n_ins = int(ins_flat.sum())
         if n_ins:
-            ends = np.cumsum(flat_counts)
+            ends = np.cumsum(flat_counts, dtype=np.int64)
             result[ends[ins_flat] - 1] = rng.integers(
-                0, 4, size=n_ins, dtype=np.int64
+                0, 4, size=n_ins, dtype=np.uint8
             )
-        out_lens = counts.sum(axis=1)
+        out_lens = counts.sum(axis=1, dtype=np.int64)
         buf = _ASCII[result].tobytes()
         offs = np.concatenate([[0], np.cumsum(out_lens)])
         out.extend(

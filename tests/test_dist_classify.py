@@ -87,3 +87,94 @@ def test_sharded_classify_device_count_invariance(rng):
         assert rem2 == []
         for k in ks:
             assert np.array_equal(got[k], want[k]), f"nd={nd} k={k}"
+
+
+def test_sharded_votes_match_single_device(rng):
+    """dist/vote.sharded_read_votes_multi == read_votes_bulk_multi bit for
+    bit on the 8-virtual-device mesh, ks spanning 1/2/4-word widths, with
+    Ns, unmatched reads, and uneven per-pivot read counts."""
+    from khoice_tpu.classify.annotate import (
+        concat_flat_reads,
+        flat_reads_device,
+        pack_group_texts,
+        read_votes_bulk_multi,
+    )
+    from khoice_tpu.dist.vote import sharded_read_votes_multi
+    from khoice_tpu.io.packing import encode_records
+    from khoice_tpu.pipelines.exp6 import reads_matrix
+
+    core = random_dna(rng, 700)
+    groups = []
+    for i in range(4):
+        s = list(core)
+        for _ in range(25 * (i + 1)):
+            s[rng.randrange(len(s))] = "ACGT"[rng.randrange(4)]
+        groups.append(encode_records(["".join(s), "ACGT" * 12 + random_dna(rng, 40)]))
+    mats = [
+        reads_matrix(
+            [random_dna(rng, 40 + 6 * p) for _ in range(4 + p)]
+            + [core[:60], "NN" + random_dna(rng, 30)]
+        )
+        for p in range(4)
+    ]
+    mesh = make_mesh(devices=cpu_devices(8))
+    ks = [7, 16, 33]
+    got = sharded_read_votes_multi(mesh, groups, mats, ks)
+    cg = pack_group_texts(groups)
+    big, spans = concat_flat_reads([flat_reads_device(m) for m in mats])
+    for k in ks:
+        want = read_votes_bulk_multi(cg, big, spans, k, 4)
+        for (gv, gu, gn), (wv, wu, wn) in zip(got[k], want):
+            np.testing.assert_array_equal(gv, wv, err_msg=f"k={k}")
+            np.testing.assert_array_equal(gu, wu, err_msg=f"k={k}")
+            np.testing.assert_array_equal(gn, wn, err_msg=f"k={k}")
+
+
+def test_sharded_votes_overflow_retry(rng):
+    """A bucket cap too small for the data must retry with doubled caps
+    and still match the single-device votes (poly-A skew concentrates one
+    key's run in one shard)."""
+    from khoice_tpu.classify.annotate import (
+        concat_flat_reads,
+        flat_reads_device,
+        pack_group_texts,
+        read_votes_bulk_multi,
+    )
+    from khoice_tpu.dist.vote import sharded_read_votes_multi
+    from khoice_tpu.io.packing import encode_records
+    from khoice_tpu.pipelines.exp6 import reads_matrix
+
+    groups = [
+        encode_records(["A" * 300 + random_dna(rng, 100)]),
+        encode_records([random_dna(rng, 300)]),
+    ]
+    mats = [
+        reads_matrix(["A" * 50, random_dna(rng, 50)]),
+        reads_matrix([random_dna(rng, 50) for _ in range(3)]),
+    ]
+    mesh = make_mesh(devices=cpu_devices(8))
+    got = sharded_read_votes_multi(mesh, groups, mats, [11], bucket_cap=8)
+    cg = pack_group_texts(groups)
+    big, spans = concat_flat_reads([flat_reads_device(m) for m in mats])
+    want = read_votes_bulk_multi(cg, big, spans, 11, 2)
+    for (gv, gu, gn), (wv, wu, wn) in zip(got[11], want):
+        np.testing.assert_array_equal(gv, wv)
+        np.testing.assert_array_equal(gu, wu)
+        np.testing.assert_array_equal(gn, wn)
+
+
+@pytest.mark.heavy
+def test_exp6_trial_csv_byte_exact_on_mesh(rng, tmp_path):
+    from khoice_tpu.pipelines.exp6 import run_exp6
+
+    pivots, rest = _world(rng)
+    reads = {
+        num: [pivots[num][0][i : i + 60] for i in range(0, 240, 30)]
+        + [random_dna(rng, 60) for _ in range(3)]
+        for num in rest
+    }
+    ks = [7, 11, 21, 33]
+    single = run_exp6(reads, rest, ks, str(tmp_path / "single"))
+    mesh = make_mesh(devices=cpu_devices(8))
+    sharded = run_exp6(reads, rest, ks, str(tmp_path / "mesh"), mesh=mesh)
+    assert open(sharded, "rb").read() == open(single, "rb").read()

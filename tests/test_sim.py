@@ -265,3 +265,40 @@ def test_pbsim1_model_qc_table(tmp_path):
     neg.write_text("150 0.5 0.5 0.0\n")
     with _pytest.raises(ValueError, match="outside"):
         ModelQc.from_file(str(neg))
+
+
+def test_batch_hmm_qualities_match_naive_walk():
+    """The vectorized state walks (2-state const/flip composition AND the
+    >2-state candidate-table path) must equal the naive sequential HMM
+    walk bit for bit under the same RNG stream."""
+    from khoice_tpu.sim.error_models import MAX_Q, QualityHmm, _batch_hmm_qualities
+
+    def naive(model, rng, n_reads, length):
+        s = model.trans.shape[0]
+        ctrans = np.cumsum(model.trans, axis=1)
+        cemit = np.cumsum(model.emit, axis=1)
+        states = np.empty((n_reads, length), np.int64)
+        states[:, 0] = rng.choice(s, size=n_reads, p=model.init)
+        u = rng.random((n_reads, length))
+        for t in range(1, length):
+            states[:, t] = np.minimum(
+                (u[:, t, None] > ctrans[states[:, t - 1]]).sum(1), s - 1
+            )
+        ue = rng.random((n_reads, length))
+        quals = np.empty((n_reads, length), np.int64)
+        for t in range(length):
+            quals[:, t] = (ue[:, t, None] > cemit[states[:, t]]).sum(1)
+        return np.minimum(quals, MAX_Q - 1).astype(np.int8)
+
+    m2 = QualityHmm.from_accuracy(0.95)
+    trans3 = np.array([[0.9, 0.08, 0.02], [0.2, 0.7, 0.1], [0.3, 0.3, 0.4]])
+    emit3 = np.zeros((3, MAX_Q))
+    emit3[0, 25] = 1.0
+    emit3[1, 12] = 0.5
+    emit3[1, 13] = 0.5
+    emit3[2, 3] = 1.0
+    m3 = QualityHmm(trans=trans3, emit=emit3, init=np.array([0.5, 0.3, 0.2]))
+    for m in (m2, m3):
+        want = naive(m, np.random.default_rng(11), 40, 200)
+        got = _batch_hmm_qualities(m, np.random.default_rng(11), 40, 200)
+        np.testing.assert_array_equal(got, want)

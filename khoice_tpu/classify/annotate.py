@@ -307,6 +307,48 @@ def _read_votes_merge_dyn(group_cg, reads_flat, k, kmax, n_words, num_datasets):
     return qmask, qvalid
 
 
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
+def _merge_votes_dyn(group_cg, reads_flat, k, kmax, n_words, num_datasets,
+                     spans, lcm):
+    """ONE dispatch per k: merge-join masks + every pivot's per-read
+    (votes, unmatched, n_kmers) in a single jitted program.
+
+    Dispatch latency dominates the per-k wall over a remote device link
+    (the axon tunnel here): the unfused path pays ~9 round trips per k
+    (merge + per-pivot slices + per-pivot vote kernels); this fuses them
+    into one call returning stacked [R_total] rows.  spans: static
+    ((offset, r, l), ...) per pivot over the flat query stream."""
+    qmask, qvalid = _read_votes_merge_dyn(
+        group_cg, reads_flat, k, kmax, n_words, num_datasets
+    )
+    qmask = jnp.where(qvalid, qmask, 0)
+    nmatch = jax.lax.population_count(qmask)
+    weight = jnp.where(nmatch > 0, jnp.uint32(lcm) // jnp.maximum(nmatch, 1), 0)
+    votes, unmatched, n_kmers = [], [], []
+    for off, r, l in spans:
+        n = r * (l + 1)
+        wm = qmask[off : off + n]
+        ww = weight[off : off + n].reshape(r, l + 1)
+        votes.append(
+            jnp.stack(
+                [
+                    jnp.sum(jnp.where(((wm >> d) & 1).reshape(r, l + 1) == 1, ww, 0), axis=1)
+                    for d in range(num_datasets)
+                ],
+                axis=1,
+            )
+        )
+        vv = qvalid[off : off + n].reshape(r, l + 1)
+        nm = nmatch[off : off + n].reshape(r, l + 1)
+        unmatched.append(jnp.sum(jnp.where(vv & (nm == 0), 1, 0), axis=1))
+        n_kmers.append(jnp.sum(vv, axis=1))
+    return (
+        jnp.concatenate(votes),
+        jnp.concatenate(unmatched),
+        jnp.concatenate(n_kmers),
+    )
+
+
 def concat_flat_reads(flats: Sequence[tuple]):
     """Concatenate per-pivot flat_reads_device outputs into ONE device
     query array (each read row already ends with a separator 4, so no
@@ -339,17 +381,27 @@ def read_votes_bulk_multi(
     output.  Returns a list of host (votes [R,D] int64, unmatched [R],
     n_kmers [R]) triples aligned with spans — identical values to
     read_votes_bulk per pivot (tested)."""
-    if kmax is None:
-        qmask, qvalid = _read_votes_merge(group, big_flat, k, num_datasets, 0)
-    else:
+    lcm = vote_lcm(num_datasets)
+    if kmax is not None:
+        # fused single-dispatch path: merge + every pivot's votes in ONE
+        # device call (remote-link dispatch latency otherwise dominates)
         from ..engine.bits import key_words
 
         nw = key_words(kmax)
         assert key_words(k) == nw, (k, kmax)
-        qmask, qvalid = _read_votes_merge_dyn(
-            group, big_flat, jnp.uint32(k), kmax, nw, num_datasets
+        v, u, nk = _merge_votes_dyn(
+            group, big_flat, jnp.uint32(k), kmax, nw, num_datasets,
+            tuple(spans), lcm,
         )
-    lcm = vote_lcm(num_datasets)
+        vh = np.asarray(v).astype(np.int64)
+        uh = np.asarray(u).astype(np.int64)
+        nh = np.asarray(nk).astype(np.int64)
+        out, r0 = [], 0
+        for _off, r, _l in spans:
+            out.append((vh[r0 : r0 + r], uh[r0 : r0 + r], nh[r0 : r0 + r]))
+            r0 += r
+        return out
+    qmask, qvalid = _read_votes_merge(group, big_flat, k, num_datasets, 0)
     out = []
     for off, r, l in spans:
         n = r * (l + 1)
@@ -367,22 +419,50 @@ def read_votes_bulk_multi(
 
 
 def pack_group_texts(group_codes: List[np.ndarray]):
-    """Pack + upload the per-dataset group texts ONCE for read_votes_bulk
-    (re-uploading ~170 MB per (k, pivot) over the dev tunnel dominated
-    realistic exp6 wall time)."""
-    from ..engine.occurrence import pack_members
+    """Pack + upload the per-dataset group texts ONCE for the merge
+    voting — as 2-bit packed codes + a 1-bit invalid mask, rebuilt on
+    device (pack_members_device): the raw uint8 codes + uint32 gids are
+    5 B/position, ~800 MB at reference scale, and the host->device link
+    (the dev tunnel here, PCIe on real hosts) made that upload dominate
+    the leg's setup wall."""
+    from ..engine.occurrence import pack_members_device
 
-    codes, gids = pack_members(group_codes)
-    return jax.device_put(codes), jax.device_put(gids)
+    return pack_members_device(group_codes)
+
+
+@jax.jit
+def _unpack_flat(packed_bytes, invalid_bits):
+    """Device-side expansion of a 2-bit packed flat read stream."""
+    shifts = jnp.arange(4, dtype=jnp.uint32) * 2
+    c = (
+        (packed_bytes[:, None].astype(jnp.uint32) >> shifts[None, :]) & 3
+    ).astype(jnp.uint8).reshape(-1)
+    bshifts = jnp.arange(8, dtype=jnp.uint32)
+    inv = (
+        (invalid_bits[:, None].astype(jnp.uint32) >> bshifts[None, :]) & 1
+    ).astype(jnp.bool_).reshape(-1)
+    return jnp.where(inv, jnp.uint8(4), c)
 
 
 def flat_reads_device(reads_codes: np.ndarray):
-    """Flatten a [R, L] read matrix with separators and upload once."""
+    """Flatten a [R, L] read matrix with separators and upload once —
+    2-bit packed + 1-bit invalid mask (0.375 B/position instead of 1),
+    padded to a multiple of 8 with separators (pad windows are invalid,
+    and span offsets downstream use the padded device shapes)."""
     r, l = reads_codes.shape
     flat = np.concatenate(
         [reads_codes, np.full((r, 1), 4, reads_codes.dtype)], axis=1
     ).reshape(-1)
-    return jax.device_put(flat), r, l
+    p = -(-flat.shape[0] // 8) * 8
+    fp = np.concatenate([flat, np.full(p - flat.shape[0], 4, np.uint8)])
+    vals = np.where(fp < 4, fp, 0).astype(np.uint8)
+    packed = vals[0::4] | (vals[1::4] << 2) | (vals[2::4] << 4) | (vals[3::4] << 6)
+    invalid = np.packbits(fp >= 4, bitorder="little")
+    return (
+        _unpack_flat(jax.device_put(packed), jax.device_put(invalid)),
+        r,
+        l,
+    )
 
 
 def read_votes_bulk(group, reads_codes, k: int, num_datasets: int):
@@ -402,8 +482,9 @@ def read_votes_bulk(group, reads_codes, k: int, num_datasets: int):
     else:
         flat, r, l = flat_reads_device(reads_codes)
     qmask, qvalid = _read_votes_merge(cg, flat, k, num_datasets, 0)
+    n = r * (l + 1)  # flat_reads_device pads to a multiple of 8
     v, u, nk = _votes_from_masks(
-        qmask, qvalid, r, l, num_datasets, vote_lcm(num_datasets)
+        qmask[:n], qvalid[:n], r, l, num_datasets, vote_lcm(num_datasets)
     )
     return (
         np.asarray(v).astype(np.int64),

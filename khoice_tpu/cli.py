@@ -315,10 +315,25 @@ def _enable_persistent_compile_cache() -> None:
     )
     if not cache:
         return
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
     os.environ["JAX_COMPILATION_CACHE_DIR"] = cache
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+    if "jax" in sys.modules:
+        # jax snapshots these config values from the env at import time,
+        # and importing khoice_tpu pulls jax in before main() runs — the
+        # env vars alone were silently ignored (measured: ~250 s of
+        # recompiles per realistic exp6 run with an empty cache dir)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs",
+            float(os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]),
+        )
+        jax.config.update(
+            "jax_persistent_cache_min_entry_size_bytes",
+            int(os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"]),
+        )
 
 
 def main(argv=None) -> int:

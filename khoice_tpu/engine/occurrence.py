@@ -78,34 +78,56 @@ def _occurrence_histogram(codes_gids, k, cs, cx, n_words, n_members):
 def _extract_canonical_dyn(codes, k, kmax, n_words):
     """Canonical extraction with k as a TRACED scalar (kmax static).
 
-    Incremental predicated pushes: after the unrolled j-loop, exactly k
-    shift steps have fired, so fwd holds the k-mer, rc its reverse
-    complement (low 2k bits), with no dynamic shifts — one XLA compile
-    serves every k <= kmax of the same word width. This matters because
-    each distinct static k is a separate XLA compile (the reference's
-    30-point k grid, workflow/Snakefile:36).
+    Incremental predicated pushes inside a lax.scan: after kmax steps
+    exactly k shift steps have fired, so fwd holds the k-mer, rc its
+    reverse complement (low 2k bits), with no dynamic shifts — one XLA
+    compile serves every k <= kmax of the same word width. This matters
+    because each distinct static k is a separate XLA compile (the
+    reference's 30-point k grid, workflow/Snakefile:36). The scan (vs a
+    Python-unrolled loop) keeps the HLO ~kmax-times smaller: the unroll's
+    ~kmax x 10 full-array ops made each word-class compile 57-102 s over
+    the remote device tunnel.
     """
     n = codes.shape[0]
     cp = jnp.concatenate([codes, jnp.full((kmax,), 4, codes.dtype)])
-    fwd = [jnp.zeros((n,), jnp.uint32) for _ in range(n_words)]
-    rc = [jnp.zeros((n,), jnp.uint32) for _ in range(n_words)]
-    valid = jnp.ones((n,), jnp.bool_)
     k32 = k.astype(jnp.int32)
-    for j in range(kmax):
-        on = jnp.int32(j) < k32
-        d = cp[j : j + n].astype(jnp.uint32)
+
+    def step(carry, j):
+        fwd, rc, valid = carry
+        on = j < k32
+        d = jax.lax.dynamic_slice(cp, (j,), (n,)).astype(jnp.uint32)
         valid = jnp.where(on, valid & (d < 4), valid)
         db = d & 3
         nf = []
         for wi in range(n_words - 1):
             nf.append((fwd[wi] << 2) | (fwd[wi + 1] >> 30))
         nf.append((fwd[n_words - 1] << 2) | db)
-        fwd = [jnp.where(on, a, b) for a, b in zip(nf, fwd)]
-        # rc |= comp(base_j) << 2j : bit position is static per j
+        fwd = tuple(jnp.where(on, a, b) for a, b in zip(nf, fwd))
+        # rc |= comp(base_j) << 2j ; word index / shift are j-dependent
+        # scalars here (traced), selected per word
         dc = db ^ 3
-        word_idx = n_words - 1 - (2 * j) // 32
-        shift = (2 * j) % 32
-        rc[word_idx] = jnp.where(on, rc[word_idx] | (dc << shift), rc[word_idx])
+        word_idx = (n_words - 1) - (2 * j) // 32
+        shift = jnp.uint32((2 * j) % 32)
+        rc = tuple(
+            jnp.where(
+                on & (word_idx == wi), rc[wi] | (dc << shift), rc[wi]
+            )
+            for wi in range(n_words)
+        )
+        return (fwd, rc, valid), None
+
+    # derive the init carry from the input so it picks up any shard_map
+    # varying-axis tags (a plain zeros() constant makes lax.scan reject
+    # the carry as unvarying-vs-varying under shard_map)
+    z32 = cp[:n].astype(jnp.uint32) * 0
+    init = (
+        tuple(z32 for _ in range(n_words)),
+        tuple(z32 for _ in range(n_words)),
+        z32 == 0,
+    )
+    (fwd, rc, valid), _ = jax.lax.scan(
+        step, init, jnp.arange(kmax, dtype=jnp.int32)
+    )
 
     from .bits import sentinel_key, words_lt, words_select
 

@@ -30,11 +30,16 @@ READ_TYPE_LABEL = {"illumina": "short", "ont": "long"}
 
 
 def reads_matrix(reads: Sequence[str]) -> np.ndarray:
-    """[R, Lmax] uint8 code matrix, short reads padded with separator 4s."""
-    lmax = max(len(r) for r in reads)
-    out = np.full((len(reads), lmax), 4, np.uint8)
-    for i, r in enumerate(reads):
-        out[i, : len(r)] = encode_seq(r)
+    """[R, Lmax] uint8 code matrix, short reads padded with separator 4s.
+
+    One encode pass + one boolean fill (the per-read row-assignment loop
+    was ~10 s at the reference's 830k-read scale): boolean assignment
+    fills row-major, which is exactly the reads' concatenation order."""
+    n = len(reads)
+    lens = np.fromiter((len(r) for r in reads), np.int64, n)
+    lmax = int(lens.max())
+    out = np.full((n, lmax), 4, np.uint8)
+    out[np.arange(lmax)[None, :] < lens[:, None]] = encode_seq("".join(reads))
     return out
 
 

@@ -125,3 +125,26 @@ def multihost_occurrence_histograms_sweep(
             mesh, member_codes, k, cs=cs, cx=cx, bucket_cap=bucket_cap
         ),
     )
+
+
+def multihost_read_votes_multi(
+    mesh: Mesh,
+    group_codes: Sequence[np.ndarray],
+    read_mats: Sequence[np.ndarray],
+    ks: Sequence[int],
+    bucket_cap: int | None = None,
+) -> dict:
+    """exp6's sharded read voting (dist/vote.py) over a process-spanning
+    mesh: the SAME driver, with per-process slab assembly and
+    replicated-output readback. Bit-identical votes to the single-host
+    path for any (process count, device count) yielding the same global
+    mesh — integer LCM weights make the psum order-free."""
+    from functools import partial
+
+    from .vote import sharded_read_votes_multi
+
+    return sharded_read_votes_multi(
+        mesh, group_codes, read_mats, ks, bucket_cap=bucket_cap,
+        upload=partial(_to_global, mesh),
+        to_host=lambda x: x.addressable_data(0),
+    )

@@ -207,14 +207,22 @@ def sharded_read_votes_multi(
     ks: Sequence[int],
     bucket_cap: int | None = None,
     slack: float = 1.7,
+    upload=None,
+    to_host=None,
 ) -> dict:
     """{k: [per-pivot (votes [R_i, D] int64, unmatched, n_kmers)]} — the
     sharded twin of classify/annotate.read_votes_bulk_multi over the whole
-    k grid, one compile per key-word class."""
+    k grid, one compile per key-word class.  upload/to_host hook the slab
+    upload and the replicated-output readback so a process-spanning mesh
+    (dist/multihost.py) reuses this driver verbatim."""
     import math as _math
 
     from ..classify.annotate import vote_lcm
 
+    if upload is None:
+        upload = jnp.asarray
+    if to_host is None:
+        to_host = jax.device_get
     D = len(group_codes)
     assert 1 <= D <= 32
     lcm = vote_lcm(D)
@@ -236,18 +244,19 @@ def sharded_read_votes_multi(
         while True:
             chunk = max(1, _math.ceil(n / n_shards))
             cs_slab, ps_slab = _make_slab_pair(codes, pays, n_shards, kmax)
+            gc, gp = upload(cs_slab), upload(ps_slab)
             fn = _vote_fn(
                 mesh, kmax, nw, D, lcm, n_reads, n_shards, cap, chunk
             )
             redo = []
             for k in cks:
-                v, u, nk, ov = fn(cs_slab, ps_slab, jnp.uint32(k))
-                if int(jax.device_get(ov)) != 0:
+                v, u, nk, ov = fn(gc, gp, jnp.uint32(k))
+                if int(np.asarray(to_host(ov))) != 0:
                     redo = cks[cks.index(k):]
                     break
-                vh = np.asarray(jax.device_get(v)).astype(np.int64)
-                uh = np.asarray(jax.device_get(u)).astype(np.int64)
-                nh = np.asarray(jax.device_get(nk)).astype(np.int64)
+                vh = np.asarray(to_host(v)).astype(np.int64)
+                uh = np.asarray(to_host(u)).astype(np.int64)
+                nh = np.asarray(to_host(nk)).astype(np.int64)
                 out[k] = [
                     (vh[r0 : r0 + r], uh[r0 : r0 + r], nh[r0 : r0 + r])
                     for r0, r in spans

@@ -51,6 +51,21 @@ def main() -> None:
         mesh, member_codes, [9, 15, 21, 33], cx=8
     )
     out["sweep"] = {str(k): h for k, h in sweep.items()}
+
+    # exp6's sharded read voting across processes (dist/multihost.py)
+    from khoice_tpu.dist.multihost import multihost_read_votes_multi
+    from khoice_tpu.pipelines.exp6 import reads_matrix
+
+    vote_groups = member_codes[:3]
+    mats = [
+        reads_matrix([genomes[m][i : i + 60] for i in range(0, 180, 60)])
+        for m in range(3)
+    ]
+    votes = multihost_read_votes_multi(mesh, vote_groups, mats, [11, 21])
+    out["votes"] = {
+        str(k): [[t[0].tolist(), t[1].tolist(), t[2].tolist()] for t in votes[k]]
+        for k in (11, 21)
+    }
     print("RESULT " + json.dumps({"pid": int(pid), "hists": out}), flush=True)
 
 

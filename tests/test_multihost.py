@@ -99,3 +99,28 @@ def test_two_process_distributed_occurrence():
     want_sweep = occurrence_histograms_sweep(member_codes, [9, 15, 21, 33], cx=8)
     for k in (9, 15, 21, 33):
         assert results[0]["sweep"][str(k)] == want_sweep[k], f"sweep k={k}"
+
+    # (d) exp6's sharded read voting across processes equals the
+    # single-device merge voting
+    from khoice_tpu.classify.annotate import (
+        concat_flat_reads,
+        flat_reads_device,
+        pack_group_texts,
+        read_votes_bulk_multi,
+    )
+    from khoice_tpu.pipelines.exp6 import reads_matrix
+
+    vote_groups = member_codes[:3]
+    mats = [
+        reads_matrix([genomes[m][i : i + 60] for i in range(0, 180, 60)])
+        for m in range(3)
+    ]
+    cg = pack_group_texts(vote_groups)
+    big, spans = concat_flat_reads([flat_reads_device(m) for m in mats])
+    for k in (11, 21):
+        want = read_votes_bulk_multi(cg, big, spans, k, 3)
+        got = results[0]["votes"][str(k)]
+        for (wv, wu, wn), (gv, gu, gn) in zip(want, got):
+            assert gv == wv.tolist() and gu == wu.tolist() and gn == wn.tolist(), (
+                f"votes k={k}"
+            )
